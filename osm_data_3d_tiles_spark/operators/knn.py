@@ -1,0 +1,161 @@
+"""kNN via cell k-ring expansion with exact distance refinement (graft-only; the
+north rule requires it — the reference has no kNN operator).
+
+Algorithm (H3 k-ring pattern on the z16 XYZ grid):
+- index building centroids by their z16 cell;
+- per query, explode ring shells r = 0, 1, 2, … (8r cells per shell) and equi-join
+  shell cells against the centroid index;
+- a query is complete when its k-th best candidate distance ≤ r·span: every
+  unexplored cell is farther than r·span away, so no better candidate can exist —
+  the refinement is exact, not approximate;
+- final top-k per query: `row_number() OVER (PARTITION BY query ORDER BY dist,
+  osm_id)` (ties by osm_id).
+
+The driver-side loop runs O(max_ring) small joins over the *unfinished* queries
+only; each iteration is a cell equi-join (shuffle keyed on cell), so it scales with
+query count, not with the building table. Queries still unfinished at max_ring fall
+back to a broadcast brute-force pass (empty-region probes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import geometry as g
+from ..functions import mercator as m
+
+
+def building_centroids(buildings: DataFrame) -> DataFrame:
+    """(osm_id, cx, cy) — area-weighted centroid of the first outer ring
+    (src/math/utils.ts:3-27 semantics)."""
+    schema = T.StructType(
+        [
+            T.StructField("osm_id", T.LongType()),
+            T.StructField("cx", T.DoubleType()),
+            T.StructField("cy", T.DoubleType()),
+        ]
+    )
+
+    def _cent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, xs, ys = [], [], []
+            for osm_id, rings in zip(pdf["osm_id"], pdf["geometry"]):
+                ring = np.asarray(
+                    [[float(p[0]), float(p[1])] for p in rings[0]], dtype=np.float64
+                )
+                ring = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+                cx, cy = g.polygon_centroid(ring)
+                ids.append(osm_id)
+                xs.append(cx)
+                ys.append(cy)
+            yield pd.DataFrame({"osm_id": ids, "cx": xs, "cy": ys})
+
+    return buildings.select("osm_id", "geometry").mapInPandas(_cent, schema=schema)
+
+
+def _with_dist_rank(cand: DataFrame) -> DataFrame:
+    dist2 = (F.col("cx") - F.col("x")) ** 2 + (F.col("cy") - F.col("y")) ** 2
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("osm_id"))
+    return cand.withColumn("dist2", dist2).withColumn("rank", F.row_number().over(w))
+
+
+def knn_bruteforce(queries: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Exact baseline: broadcast cross join + top-k window. Correctness oracle and
+    fallback path."""
+    cand = queries.crossJoin(F.broadcast(centroids))
+    return (
+        _with_dist_rank(cand)
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "osm_id", "dist2")
+    )
+
+
+def knn_kring(
+    queries: DataFrame,
+    centroids: DataFrame,
+    z: int = m.Z_LEAF,
+    initial_ring: int = 2,
+    max_ring: int = 32,
+) -> DataFrame:
+    """Exact kNN by doubling-radius disc expansion. Same output as knn_bruteforce.
+
+    Each round runs over the still-unfinished queries only, with radius r doubling
+    (2, 4, 8, …, max_ring) — O(log max_ring) rounds. Outputs and the remaining set
+    are eagerly localCheckpoint-ed so the plan lineage stays flat (no cross-round
+    union growth). Unfinished queries past max_ring (probes in empty regions) fall
+    back to the broadcast brute-force pass.
+    """
+    spark = queries.sparkSession
+    span = m.tile_span(z)
+
+    idx = (
+        centroids.withColumn("tile_x", m.tile_x_col(F.col("cx"), z))
+        .withColumn("tile_y", m.tile_y_col(F.col("cy"), z))
+        .persist()
+    )
+    idx.count()
+
+    remaining = (
+        queries.withColumn("qtx", m.tile_x_col(F.col("x"), z))
+        .withColumn("qty", m.tile_y_col(F.col("y"), z))
+        .select("query_id", "x", "y", "k", "qtx", "qty")
+        .localCheckpoint(eager=True)
+    )
+
+    finished_parts: list[DataFrame] = []
+    r = initial_ring
+    while remaining.count() > 0:
+        offsets = [
+            (dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+        ]
+        off_df = spark.createDataFrame(offsets, ["dx", "dy"])
+        disc = remaining.crossJoin(F.broadcast(off_df)).select(
+            "query_id",
+            "x",
+            "y",
+            "k",
+            (F.col("qtx") + F.col("dx")).alias("tile_x"),
+            (F.col("qty") + F.col("dy")).alias("tile_y"),
+        )
+        cand = disc.join(idx, ["tile_x", "tile_y"]).select(
+            "query_id", "x", "y", "k", "osm_id", "cx", "cy"
+        )
+        ranked = _with_dist_rank(cand)
+        # completion: k-th best distance within the explored disc ≤ r·span — every
+        # unexplored cell is at least r·span away, so the top-k is final.
+        done_ids = (
+            ranked.filter(
+                (F.col("rank") == F.col("k"))
+                & (F.sqrt(F.col("dist2")) <= F.lit(float(r) * span))
+            )
+            .select("query_id")
+            .localCheckpoint(eager=True)
+        )
+        finished = (
+            ranked.join(done_ids, "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "osm_id", "dist2")
+            .localCheckpoint(eager=True)
+        )
+        if finished.count() > 0:
+            finished_parts.append(finished)
+        remaining = remaining.join(done_ids, "query_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if r >= max_ring:
+            break
+        r = min(r * 2, max_ring)
+
+    out_parts = list(finished_parts)
+    if remaining.count() > 0:
+        out_parts.append(knn_bruteforce(remaining.select("query_id", "x", "y", "k"), centroids))
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,102 @@
+"""Broadcast cell-prefiltered ray-casting point-in-polygon join.
+
+The flagship operator (north rule): pages (fact, 10^12 rows at target scale) join
+buildings (dimension) without ever shuffling the fact table —
+
+1. build side: buildings exploded to covering z16 cells (operators.cells), geometry
+   attached, marked `F.broadcast` → BroadcastHashJoinExec, no exchange on pages;
+2. probe side: page points carry a native-expression cell id (JVM-side floor math,
+   whole-stage codegen, pushed past the parquet scan);
+3. equi-join on cell = the coarse prefilter (exactly the role MVT tile membership
+   plays in the reference, b3dmGenerator.ts:109-113);
+4. exact refinement: vectorized even-odd ray-cast PIP (src/math/utils.ts:29-46
+   semantics) in one Arrow `mapInPandas` stage — inside each batch, candidates are
+   grouped per building and each group is tested as one (N,2)×(M,2) numpy broadcast.
+
+Skew: dense cities produce hot cells. The broadcast join itself has no shuffle to
+skew; downstream aggregations over cell/tile keys use `salted_count` (two-phase
+agg) or AQE skew-join handling (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import geometry as g
+from ..functions import mercator as m
+from .cells import building_cells, with_cell_id
+
+
+def pages_with_cell(pages_pts: DataFrame, z: int = m.Z_LEAF) -> DataFrame:
+    """Attach tile/cell columns to a point table (x, y in EPSG:3857) using native
+    Column math only — stays in whole-stage codegen."""
+    return (
+        pages_pts.withColumn("tile_x", m.tile_x_col(F.col("x"), z))
+        .withColumn("tile_y", m.tile_y_col(F.col("y"), z))
+        .withColumn("cell", m.cell_id_col(F.col("tile_x"), F.col("tile_y"), z))
+    )
+
+
+def _pip_refine_factory(point_cols: tuple[str, str], out_fields: list[T.StructField]):
+    schema = T.StructType(out_fields)
+    names = [f.name for f in out_fields]
+    px_col, py_col = point_cols
+
+    def _refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            pts = np.column_stack(
+                [pdf[px_col].to_numpy(dtype=np.float64), pdf[py_col].to_numpy(dtype=np.float64)]
+            )
+            # group candidate rows by building: one vectorized PIP per building
+            for _, idx in pdf.groupby("osm_id", sort=False).indices.items():
+                rings_raw = pdf["geometry"].iloc[idx[0]]
+                rings = [
+                    np.asarray([[float(p[0]), float(p[1])] for p in ring], dtype=np.float64)
+                    for ring in rings_raw
+                ]
+                keep[idx] = g.points_in_polygon(pts[idx], rings)
+            yield pdf.loc[keep, names]
+
+    return _refine, schema
+
+
+def spatial_join(
+    pages_pts: DataFrame,
+    buildings: DataFrame,
+    z: int = m.Z_LEAF,
+    page_cols: tuple[str, ...] = ("url",),
+    building_cols: tuple[str, ...] = ("osm_id",),
+) -> DataFrame:
+    """pages_pts(url, x, y, …) ⋈ buildings(osm_id, geometry, ring_types, …) →
+    one row per (page, containing building). Exact ray-cast semantics after the
+    broadcast cell prefilter."""
+    cells = with_cell_id(building_cells(buildings, z), z).select("osm_id", "cell")
+    build_side = cells.join(
+        buildings.select("osm_id", "geometry", "ring_types", *[c for c in building_cols if c != "osm_id"]),
+        "osm_id",
+    )
+
+    probe = pages_with_cell(pages_pts, z)
+    cand = probe.join(F.broadcast(build_side), "cell")
+
+    out_fields = [cand.schema[c] for c in page_cols] + [cand.schema[c] for c in building_cols]
+    refine, schema = _pip_refine_factory(("x", "y"), out_fields)
+    needed = list(dict.fromkeys(list(page_cols) + list(building_cols) + ["x", "y", "osm_id", "geometry"]))
+    return cand.select(*needed).mapInPandas(refine, schema=schema)
+
+
+def salted_count(df: DataFrame, key_cols: list[str], n_salt: int = 32) -> DataFrame:
+    """Two-phase (salted) count for skewed keys: pre-aggregate on (key, salt), then
+    combine — bounds any single reducer's input even for a city-sized hot cell."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.monotonically_increasing_id()), F.lit(n_salt))
+    partial = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(F.count("*").alias("_cnt"))
+    return partial.groupBy(*key_cols).agg(F.sum("_cnt").alias("count"))
