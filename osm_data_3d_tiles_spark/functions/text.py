@@ -115,28 +115,25 @@ def quality_score(text: pd.Series) -> pd.DataFrame:
     )
 
 
-def rolling_fingerprint(text: pd.Series, window: int = 8, mod: int = 1 << 61) -> pd.Series:
+def rolling_fingerprint(text: pd.Series, window: int = 8) -> pd.Series:
     """Document fingerprint: min of rolling polynomial hashes over byte windows
-    (winnowing-style); short docs fall back to a whole-text hash."""
-    base = 257
+    (winnowing-style), in uint64 wraparound arithmetic (deterministic on every
+    platform); short docs fall back to crc32. Fully vectorized in numpy."""
+    base = np.uint64(257)
 
     def _one(s: str) -> int:
         b = s.encode("utf-8")
         if len(b) < window:
             return zlib.crc32(b)
         arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-        h = np.zeros(len(arr) - window + 1, dtype=np.uint64)
-        acc = np.uint64(0)
-        poww = pow(base, window - 1, mod)
-        for i in range(window):
-            acc = (acc * np.uint64(base) + arr[i]) % np.uint64(mod)
-        h[0] = acc
-        for i in range(1, len(h)):
-            acc = (
-                (acc - arr[i - 1] * np.uint64(poww)) * np.uint64(base) + arr[i + window - 1]
-            ) % np.uint64(mod)
-            h[i] = acc
-        return int(h.min())
+        n = len(arr) - window + 1
+        with np.errstate(over="ignore"):
+            # h[i] = sum(arr[i+j] * base^(window-1-j)) (mod 2^64), vectorized as a
+            # strided matmul-free accumulation
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(window):
+                h = h * base + arr[j : j + n]
+        return int(np.int64(h.min().view(np.int64)))
 
     return text.map(_one)
 

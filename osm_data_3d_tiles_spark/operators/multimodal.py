@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns with typed
+metadata, processed by Arrow-batched `mapInPandas` stages.
+
+The decode step itself is STUBBED (no image/audio libraries in this environment):
+`decode_image_stub` produces a deterministic fake feature vector from the bytes, and
+`decode_image_real` raises NotImplementedError with the intended contract. The
+Spark-side plumbing — schema, partition sizing, UDF signatures, Arrow batch shape —
+is real and tested; swapping in a real decoder is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 32
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image_real(payload: bytes, meta: dict) -> np.ndarray:
+    """Real decode contract: payload → HxWx3 uint8 array. STUB — the container has
+    no imaging libraries; wire Pillow/libvips here on a real cluster."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this sandbox; "
+        "use decode_image_stub for plumbing tests"
+    )
+
+
+def decode_image_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fake feature extraction: sha256 of the bytes expanded to a
+    FEATURE_DIM float vector in [0, 1). Stable across platforms/runs."""
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
+    return (raw % 10_000).astype(np.float32) / 10_000.0
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """media(media_id, kind, payload, meta) → per-item feature vectors. One Arrow
+    stage; batches arrive as pandas with payload as bytes objects."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_stub(p).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _extract, schema=FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms) the decoder
+    would emit — derived natively from metadata (no decode), so the expensive stage
+    only ever sees the frames it must produce."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def make_media_fixture(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for plumbing tests."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = (f"media-{i}-".encode() * 7)[: 64 + (i % 32)]
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                (64 + i, 48 + i, f"{kind}/x-test", 5000 if kind == "video" else None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

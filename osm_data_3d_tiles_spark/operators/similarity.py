@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (array<float>).
+
+- `ann_bruteforce_topk`: exact cosine top-k — the correctness baseline. The dot
+  product runs as a native `F.aggregate(F.zip_with(...))` expression (JVM-side, no
+  Python), queries are broadcast.
+- `ann_ivf_topk`: the scale path — deterministic IVF: coarse centroids picked by
+  stable hash-sampling + one Lloyd refinement, vectors partitioned by nearest
+  centroid, queries probe the `n_probe` nearest centroid lists only. At 100 TB this
+  turns a full scan per query into a pruned scan of n_probe/n_list of the data,
+  shuffled once on centroid id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _unit_col(vec: F.Column) -> F.Column:
+    dot = F.aggregate(F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    norm = F.sqrt(dot)
+    return F.transform(vec, lambda x: x / norm)
+
+
+def _cosine_col(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ann_bruteforce_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, vec_id, cosine). Ties by vec_id."""
+    base = embeddings.select(
+        F.col(id_col), _unit_col(F.col(vec_col).cast("array<double>")).alias("unit")
+    )
+    q = queries.select(
+        F.col(query_id_col), _unit_col(F.col(query_vec_col).cast("array<double>")).alias("q_unit")
+    )
+    cand = base.crossJoin(F.broadcast(q))
+    scored = cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+def _deterministic_centroids(mat: np.ndarray, ids: np.ndarray, n_list: int) -> np.ndarray:
+    """Stable centroid init: order vectors by id, take n_list evenly spaced, then one
+    Lloyd iteration. Fully deterministic for a given id set."""
+    order = np.argsort(ids)
+    mat = mat[order]
+    step = max(1, len(mat) // n_list)
+    cents = mat[::step][:n_list].copy()
+    # one refinement sweep
+    sims = mat @ cents.T
+    assign = np.argmax(sims, axis=1)
+    for c in range(len(cents)):
+        members = mat[assign == c]
+        if len(members):
+            v = members.mean(axis=0)
+            n = np.linalg.norm(v)
+            if n > 0:
+                cents[c] = v / n
+    return cents
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-pruned approximate cosine top-k, same output schema as brute force.
+
+    The centroid table is tiny (n_list rows) → computed once driver-side from a
+    deterministic sample, broadcast everywhere; the inverted lists are the base
+    table partitioned by centroid id.
+    """
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col), _unit_col(F.col(vec_col).cast("array<double>")).alias("unit")
+    ).persist()
+
+    sample = base.limit(4096).toPandas()
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["unit"]])
+    cents = _deterministic_centroids(mat, sample[id_col].to_numpy(), n_list)
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    cent_df = spark.createDataFrame(cent_rows, ["list_id", "centroid"])
+
+    # assign each vector to its nearest centroid (broadcast centroid table)
+    assigned = (
+        base.crossJoin(F.broadcast(cent_df))
+        .withColumn("sim", _cosine_col(F.col("unit"), F.col("centroid")))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("list_id"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, "unit", "list_id")
+    )
+
+    q = queries.select(
+        F.col(query_id_col), _unit_col(F.col(query_vec_col).cast("array<double>")).alias("q_unit")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("sim", _cosine_col(F.col("q_unit"), F.col("centroid")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col("list_id"))
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select(query_id_col, "q_unit", "list_id")
+    )
+
+    cand = assigned.join(probes, "list_id")
+    scored = cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )

