@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship pipeline (pages → geotag extract → broadcast
+  cell-prefiltered ray-cast PIP join → tile ownership) on sf0.001 fixtures.
+- ``queries()``: one entry per implemented operator from SURVEY.md §2 plus the
+  training-data ops; each callable takes (spark, sf_dir).
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL producing identical rows for every
+  SQL-expressible query (see osm_data_3d_tiles_spark/plans/contract.py for the
+  fp-determinism ground rules). Non-SQL-expressible kernels (MinHash/SimHash
+  signatures, IVF ANN, Arrow multimodal plumbing, the html-extraction pipeline)
+  are registered without an oracle → rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osm_data_3d_tiles_spark.plans.contract import (  # noqa: E402
+    build_queries,
+    build_rows_only_queries,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001-scale fixtures; driver checks rows>0."""
+    from osm_data_3d_tiles_spark.plans.pipeline import flagship
+    from osm_data_3d_tiles_spark.sources import fixtures as fx
+
+    pages = fx.load_fixture(spark, "pages", 0.001)
+    buildings = fx.load_fixture(spark, "buildings", 0.001)
+    out = flagship(pages, buildings)
+    return (
+        out["join_rows"]
+        .join(out["tile_assignment"], "osm_id")
+        .select("url", "osm_id", "tile_key")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    catalog = {name: fn for name, (fn, _sql) in build_queries().items()}
+    catalog.update(build_rows_only_queries())
+    return catalog
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in build_queries().items()}

@@ -165,23 +165,30 @@ def shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
 
 
+_MIX_MUL = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _perm_seeds(num_perm: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randint(1, 1 << 62, size=num_perm, dtype=np.int64).astype(np.uint64) | np.uint64(1)
+
+
 def minhash_signature(text: str, num_perm: int = 64, k: int = 3, seed: int = 42) -> np.ndarray:
-    """MinHash signature: num_perm universal-hash permutations h_i(x) = (a_i x + b_i)
-    mod Mersenne61 over FNV shingle hashes."""
+    """MinHash signature over FNV shingle hashes using num_perm xorshift-multiply
+    permutations h_i(x) = mix((x ^ s_i) · M) in uint64 wraparound arithmetic —
+    fully vectorized as one (num_perm, n_shingles) numpy broadcast (no Python-int
+    modular loop; wraparound multiply is a bijection so each h_i permutes u64)."""
     sh = shingles(text, k)
     if not sh:
         return np.zeros(num_perm, dtype=np.int64)
-    base = _hash64(sh).astype(np.object_)  # python ints to avoid overflow
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.object_)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.object_)
-    # (num_perm, n_shingles) modular arithmetic on python ints (exact)
-    sig = np.empty(num_perm, dtype=np.int64)
-    base_int = [int(x) for x in base]
-    for i in range(num_perm):
-        ai, bi = int(a[i]), int(b[i])
-        sig[i] = min(((ai * x + bi) % _MERSENNE) for x in base_int)
-    return sig
+    base = _hash64(sh)  # (n,)
+    seeds = _perm_seeds(num_perm, seed)  # (p,)
+    with np.errstate(over="ignore"):
+        h = (base[None, :] ^ seeds[:, None]) * _MIX_MUL
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h.min(axis=1).view(np.int64)
 
 
 def minhash_bands(sig: np.ndarray, bands: int = 16) -> list[int]:

@@ -1,0 +1,945 @@
+"""Driver-contract query catalog: every operator from SURVEY.md §2 exposed as a
+(spark, sf_dir) → DataFrame callable plus, where ANSI-SQL-expressible, a DuckDB
+oracle producing identical rows.
+
+Oracle-matching ground rules (fp determinism):
+- spatial inputs are *derived deterministically from the registered tables*
+  (documents → points, part → rectangle footprints) using only +, −, ×, ÷, %, floor
+  over int64/float64 — IEEE-identical in Spark and DuckDB when the expression tree
+  is the same;
+- no ln/exp/atan in oracle-checked outputs (3857 coordinates are generated directly,
+  never via lat/lon transforms);
+- money-ish double sums are scaled to int64 before SUM (fp addition order is not
+  associative across engines);
+- every aggregate/computed column is aliased identically on both sides.
+
+The rectangle-footprint queries exercise the REAL operators (cell explode via
+triangulate+DDA rasterization, broadcast PIP join, ownership window, k-ring kNN,
+zonal stats) — the oracle just happens to be able to state the expected result in
+SQL because the footprints are axis-aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import mercator as m
+from ..functions.params import HEIGHT_KERNEL_SQL, with_building_params
+from ..operators.knn import knn_kring
+from ..operators.ownership import owner_tiles
+from ..operators.spatial_join import spatial_join
+from ..operators.zonal import zonal_stats
+from ..operators.cells import building_cells
+from ..operators.dedup import exact_dedup
+
+# ---------------------------------------------------------------------------
+# deterministic derivations (identical formulas in Spark + SQL)
+# ---------------------------------------------------------------------------
+
+EXT = m.tile_extent(12, 2103, 1461)  # the fixture z12 tile (Lyon)
+MINX, MINY, MAXX, MAXY = EXT
+W = MAXX - MINX
+H = MAXY - MINY
+SPAN = m.tile_span(16)
+HALF = m.HALF_SIZE
+
+PX_MOD, PX_MUL = 1000003, 2654435761
+PY_MOD, PY_MUL = 999983, 1597334677
+BX_MOD, BX_MUL = 1000033, 2246822519
+BY_MOD, BY_MUL = 999979, 3266489917
+
+
+def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    px = F.lit(MINX) + ((F.col("doc_id") * F.lit(PX_MUL)) % F.lit(PX_MOD)).cast("double") / F.lit(
+        float(PX_MOD)
+    ) * F.lit(W)
+    py = F.lit(MINY) + ((F.col("doc_id") * F.lit(PY_MUL)) % F.lit(PY_MOD)).cast("double") / F.lit(
+        float(PY_MOD)
+    ) * F.lit(H)
+    return docs.select("doc_id", px.alias("x"), py.alias("y"))
+
+
+DOC_POINTS_SQL = f"""
+SELECT doc_id,
+       {MINX!r} + CAST((doc_id * {PX_MUL}) % {PX_MOD} AS DOUBLE) / {float(PX_MOD)!r} * {W!r} AS x,
+       {MINY!r} + CAST((doc_id * {PY_MUL}) % {PY_MOD} AS DOUBLE) / {float(PY_MOD)!r} * {H!r} AS y
+FROM documents
+"""
+
+
+def rect_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → axis-aligned rectangle footprints inside the fixture extent, with the
+    nested-ring geometry the real operators consume."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    bx = F.lit(MINX + 0.02 * W) + (
+        (F.col("p_partkey") * F.lit(BX_MUL)) % F.lit(BX_MOD)
+    ).cast("double") / F.lit(float(BX_MOD)) * F.lit(0.96 * W)
+    by = F.lit(MINY + 0.02 * H) + (
+        (F.col("p_partkey") * F.lit(BY_MUL)) % F.lit(BY_MOD)
+    ).cast("double") / F.lit(float(BY_MOD)) * F.lit(0.96 * H)
+    hw = (F.lit(20) + (F.col("p_partkey") % F.lit(37))).cast("double")
+    hh = (F.lit(15) + (F.col("p_partkey") % F.lit(23))).cast("double")
+    df = part.select(
+        F.col("p_partkey").alias("osm_id"),
+        bx.alias("bx"),
+        by.alias("by"),
+        (bx - hw).alias("x0"),
+        (by - hh).alias("y0"),
+        (bx + hw).alias("x1"),
+        (by + hh).alias("y1"),
+    )
+    ring = F.array(
+        F.array("x0", "y0"),
+        F.array("x1", "y0"),
+        F.array("x1", "y1"),
+        F.array("x0", "y1"),
+        F.array("x0", "y0"),
+    )
+    return df.withColumn("geometry", F.array(ring)).withColumn(
+        "ring_types", F.array(F.lit("outer"))
+    )
+
+
+RECTS_SQL = f"""
+SELECT p_partkey AS osm_id,
+       {MINX + 0.02 * W!r} + CAST((p_partkey * {BX_MUL}) % {BX_MOD} AS DOUBLE) / {float(BX_MOD)!r} * {0.96 * W!r} AS bx,
+       {MINY + 0.02 * H!r} + CAST((p_partkey * {BY_MUL}) % {BY_MOD} AS DOUBLE) / {float(BY_MOD)!r} * {0.96 * H!r} AS by,
+       CAST(20 + (p_partkey % 37) AS DOUBLE) AS hw,
+       CAST(15 + (p_partkey % 23) AS DOUBLE) AS hh
+FROM part
+"""
+
+RECTS_XY_SQL = f"""
+WITH r0 AS ({RECTS_SQL})
+SELECT osm_id, bx, by, bx - hw AS x0, by - hh AS y0, bx + hw AS x1, by + hh AS y1 FROM r0
+"""
+
+
+# synthesized building properties for the height kernel (modular null patterns)
+def synth_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    nullif_mod = lambda expr, mod, r: F.when((k % mod) == r, F.lit(None)).otherwise(expr)
+    return part.select(
+        k.alias("osm_id"),
+        F.when(k % 7 == 0, F.lit("roof"))
+        .when(k % 7 == 1, F.lit("garage"))
+        .when(k % 7 == 2, F.lit("shed"))
+        .otherwise(F.lit("house"))
+        .alias("building_type"),
+        nullif_mod((4 + (k % 40)).cast("double"), 2, 0).alias("height"),
+        nullif_mod((1 + (k % 9)).cast("double"), 3, 0).alias("levels"),
+        nullif_mod(((k % 4)).cast("double"), 5, 0).alias("min_height"),
+        nullif_mod(((k % 2)).cast("double"), 5, 1).alias("min_level"),
+        nullif_mod(((k % 5) - 1).cast("double"), 3, 1).alias("roof_levels"),
+        nullif_mod(((k % 6)).cast("double") / F.lit(2.0), 4, 0).alias("roof_height"),
+    )
+
+
+SYNTH_PROPS_SQL = """
+SELECT p_partkey AS osm_id,
+       CASE WHEN p_partkey % 7 = 0 THEN 'roof'
+            WHEN p_partkey % 7 = 1 THEN 'garage'
+            WHEN p_partkey % 7 = 2 THEN 'shed'
+            ELSE 'house' END AS building_type,
+       CASE WHEN p_partkey % 2 = 0 THEN NULL ELSE CAST(4 + (p_partkey % 40) AS DOUBLE) END AS height,
+       CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE CAST(1 + (p_partkey % 9) AS DOUBLE) END AS levels,
+       CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE CAST(p_partkey % 4 AS DOUBLE) END AS min_height,
+       CASE WHEN p_partkey % 5 = 1 THEN NULL ELSE CAST(p_partkey % 2 AS DOUBLE) END AS min_level,
+       CASE WHEN p_partkey % 3 = 1 THEN NULL ELSE CAST((p_partkey % 5) - 1 AS DOUBLE) END AS roof_levels,
+       CASE WHEN p_partkey % 4 = 0 THEN NULL ELSE CAST(p_partkey % 6 AS DOUBLE) / 2.0 END AS roof_height
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict:
+    q: dict = {}
+
+    # ---- scans / filters -----------------------------------------------------
+    def layer_filter(spark, sf_dir):
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        layer = F.when(F.col("p_partkey") % 20 == 0, F.lit("roads")).otherwise(F.lit("buildings"))
+        return (
+            part.withColumn("layer", layer)
+            .filter(F.col("layer") == "buildings")
+            .select(F.col("p_partkey").alias("osm_id"), "layer")
+        )
+
+    q["layer_filter"] = (
+        layer_filter,
+        """
+        SELECT p_partkey AS osm_id,
+               CASE WHEN p_partkey % 20 = 0 THEN 'roads' ELSE 'buildings' END AS layer
+        FROM part
+        WHERE (CASE WHEN p_partkey % 20 = 0 THEN 'roads' ELSE 'buildings' END) = 'buildings'
+        """,
+    )
+
+    # ---- cell encode (native mercator tile math) ------------------------------
+    def tile_assign_docs(spark, sf_dir):
+        pts = doc_points(spark, sf_dir)
+        return pts.select(
+            "doc_id",
+            m.tile_x_col(F.col("x")).alias("tile_x"),
+            m.tile_y_col(F.col("y")).alias("tile_y"),
+            m.tile_key_col(m.tile_x_col(F.col("x")), m.tile_y_col(F.col("y"))).alias("tile_key"),
+        )
+
+    q["tile_assign_docs"] = (
+        tile_assign_docs,
+        f"""
+        WITH pts AS ({DOC_POINTS_SQL})
+        SELECT doc_id,
+               CAST(FLOOR((x + {HALF!r}) / {SPAN!r}) AS BIGINT) AS tile_x,
+               CAST(FLOOR(({HALF!r} - y) / {SPAN!r}) AS BIGINT) AS tile_y,
+               '16_' || CAST(CAST(FLOOR((x + {HALF!r}) / {SPAN!r}) AS BIGINT) AS VARCHAR)
+                     || '_' || CAST(CAST(FLOOR(({HALF!r} - y) / {SPAN!r}) AS BIGINT) AS VARCHAR) AS tile_key
+        FROM pts
+        """,
+    )
+
+    # ---- flagship: broadcast cell-prefiltered ray-cast PIP join ---------------
+    def pip_join(spark, sf_dir):
+        pts = doc_points(spark, sf_dir).withColumnRenamed("doc_id", "url")
+        rects = rect_buildings(spark, sf_dir)
+        out = spatial_join(pts, rects, page_cols=("url",), building_cols=("osm_id",))
+        return out.select(F.col("url").alias("doc_id"), "osm_id")
+
+    q["pip_join_docs_rects"] = (
+        pip_join,
+        f"""
+        WITH pts AS ({DOC_POINTS_SQL}), r AS ({RECTS_XY_SQL})
+        SELECT pts.doc_id, r.osm_id
+        FROM pts, r
+        WHERE pts.x > r.x0 AND pts.x < r.x1 AND pts.y > r.y0 AND pts.y < r.y1
+        """,
+    )
+
+    # ---- covered cells + first-claimer ownership ------------------------------
+    def tile_ownership(spark, sf_dir):
+        rects = rect_buildings(spark, sf_dir)
+        return owner_tiles(building_cells(rects)).select("osm_id", "tile_x", "tile_y", "tile_key")
+
+    q["tile_ownership"] = (
+        tile_ownership,
+        f"""
+        WITH r AS ({RECTS_XY_SQL}),
+        cand AS (
+            SELECT r.osm_id, gx.x AS tile_x, gy.y AS tile_y
+            FROM r,
+            LATERAL (SELECT unnest(generate_series(
+                CAST(FLOOR((r.x0 + {HALF!r}) / {SPAN!r}) AS BIGINT),
+                CAST(FLOOR((r.x1 + {HALF!r}) / {SPAN!r}) AS BIGINT))) ) gx(x),
+            LATERAL (SELECT unnest(generate_series(
+                CAST(FLOOR(({HALF!r} - r.y1) / {SPAN!r}) AS BIGINT),
+                CAST(FLOOR(({HALF!r} - r.y0) / {SPAN!r}) AS BIGINT))) ) gy(y)
+        ),
+        ranked AS (
+            SELECT osm_id, tile_x, tile_y,
+                   row_number() OVER (PARTITION BY osm_id
+                       ORDER BY tile_x // 16, tile_y // 16, tile_x, tile_y) AS rn
+            FROM cand
+        )
+        SELECT osm_id, tile_x, tile_y,
+               '16_' || CAST(tile_x AS VARCHAR) || '_' || CAST(tile_y AS VARCHAR) AS tile_key
+        FROM ranked WHERE rn = 1
+        """,
+    )
+
+    # ---- per-tile batch-table pivot -------------------------------------------
+    def batch_pivot(spark, sf_dir):
+        pts = doc_points(spark, sf_dir).withColumnRenamed("doc_id", "url")
+        rects = rect_buildings(spark, sf_dir)
+        joined = spatial_join(pts, rects, page_cols=("url",), building_cols=("osm_id",))
+        owners = owner_tiles(building_cells(rects)).select("osm_id", "tile_key")
+        return (
+            joined.join(owners, "osm_id")
+            .groupBy("tile_key")
+            .agg(
+                F.count("*").alias("batch_length"),
+                F.sort_array(F.collect_list(F.col("url").cast("long"))).alias("doc_ids"),
+            )
+        )
+
+    q["batch_table_pivot"] = (
+        batch_pivot,
+        f"""
+        WITH pts AS ({DOC_POINTS_SQL}), r AS ({RECTS_XY_SQL}),
+        joined AS (
+            SELECT pts.doc_id, r.osm_id
+            FROM pts, r
+            WHERE pts.x > r.x0 AND pts.x < r.x1 AND pts.y > r.y0 AND pts.y < r.y1
+        ),
+        cand AS (
+            SELECT r.osm_id, gx.x AS tile_x, gy.y AS tile_y
+            FROM r,
+            LATERAL (SELECT unnest(generate_series(
+                CAST(FLOOR((r.x0 + {HALF!r}) / {SPAN!r}) AS BIGINT),
+                CAST(FLOOR((r.x1 + {HALF!r}) / {SPAN!r}) AS BIGINT))) ) gx(x),
+            LATERAL (SELECT unnest(generate_series(
+                CAST(FLOOR(({HALF!r} - r.y1) / {SPAN!r}) AS BIGINT),
+                CAST(FLOOR(({HALF!r} - r.y0) / {SPAN!r}) AS BIGINT))) ) gy(y)
+        ),
+        owners AS (
+            SELECT osm_id,
+                   '16_' || CAST(tile_x AS VARCHAR) || '_' || CAST(tile_y AS VARCHAR) AS tile_key
+            FROM (SELECT osm_id, tile_x, tile_y,
+                         row_number() OVER (PARTITION BY osm_id
+                             ORDER BY tile_x // 16, tile_y // 16, tile_x, tile_y) AS rn
+                  FROM cand) WHERE rn = 1
+        )
+        SELECT o.tile_key,
+               COUNT(*) AS batch_length,
+               list(j.doc_id ORDER BY j.doc_id) AS doc_ids
+        FROM joined j JOIN owners o ON j.osm_id = o.osm_id
+        GROUP BY o.tile_key
+        """,
+    )
+
+    # ---- bbox union (Box3.union analogue) --------------------------------------
+    def bbox_union(spark, sf_dir):
+        pts = tile_assign_docs(spark, sf_dir).join(doc_points(spark, sf_dir), "doc_id")
+        return pts.groupBy("tile_key").agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+
+    q["bbox_union_per_tile"] = (
+        bbox_union,
+        f"""
+        WITH pts AS ({DOC_POINTS_SQL})
+        SELECT '16_' || CAST(CAST(FLOOR((x + {HALF!r}) / {SPAN!r}) AS BIGINT) AS VARCHAR)
+                     || '_' || CAST(CAST(FLOOR(({HALF!r} - y) / {SPAN!r}) AS BIGINT) AS VARCHAR) AS tile_key,
+               COUNT(*) AS n,
+               MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+        FROM pts GROUP BY 1
+        """,
+    )
+
+    # ---- kNN (real k-ring operator) --------------------------------------------
+    def knn(spark, sf_dir):
+        pts = doc_points(spark, sf_dir).filter(F.col("doc_id") < 20)
+        queries = pts.select(
+            F.col("doc_id").alias("query_id"), "x", "y", F.lit(5).alias("k")
+        )
+        cents = rect_buildings(spark, sf_dir).select(
+            "osm_id", F.col("bx").alias("cx"), F.col("by").alias("cy")
+        )
+        return knn_kring(queries, cents).select("query_id", "rank", "osm_id")
+
+    q["knn_topk"] = (
+        knn,
+        f"""
+        WITH pts AS ({DOC_POINTS_SQL}), r AS ({RECTS_SQL}),
+        scored AS (
+            SELECT pts.doc_id AS query_id, r.osm_id,
+                   (r.bx - pts.x) * (r.bx - pts.x) + (r.by - pts.y) * (r.by - pts.y) AS dist2
+            FROM pts, r WHERE pts.doc_id < 20
+        ),
+        ranked AS (
+            SELECT query_id, osm_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist2, osm_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, osm_id FROM ranked WHERE rank <= 5
+        """,
+    )
+
+    # ---- zonal stats (rasterize → join → agg) -----------------------------------
+    def zonal(spark, sf_dir):
+        rects = rect_buildings(spark, sf_dir)
+        min_tx, min_ty, max_tx, max_ty = m.tile_range_for_extent(EXT, 16)
+        # raster over a generous halo of the fixture grid (rect edges near the
+        # extent boundary may rasterize one cell outside)
+        grid = (
+            spark.range(min_tx - 2, max_tx + 3)
+            .select(F.col("id").alias("cell_x"))
+            .crossJoin(spark.range(min_ty - 2, max_ty + 3).select(F.col("id").alias("cell_y")))
+            .withColumn(
+                "value", ((F.col("cell_x") * 31 + F.col("cell_y") * 17) % 1000).cast("double")
+            )
+        )
+        return zonal_stats(rects, grid).select("osm_id", "cell_count", "value_sum")
+
+    min_tx, min_ty, max_tx, max_ty = m.tile_range_for_extent(EXT, 16)
+    q["zonal_stats_rects"] = (
+        zonal,
+        f"""
+        WITH r AS ({RECTS_XY_SQL}),
+        cand AS (
+            SELECT r.osm_id, gx.x AS tile_x, gy.y AS tile_y
+            FROM r,
+            LATERAL (SELECT unnest(generate_series(
+                CAST(FLOOR((r.x0 + {HALF!r}) / {SPAN!r}) AS BIGINT),
+                CAST(FLOOR((r.x1 + {HALF!r}) / {SPAN!r}) AS BIGINT))) ) gx(x),
+            LATERAL (SELECT unnest(generate_series(
+                CAST(FLOOR(({HALF!r} - r.y1) / {SPAN!r}) AS BIGINT),
+                CAST(FLOOR(({HALF!r} - r.y0) / {SPAN!r}) AS BIGINT))) ) gy(y)
+        )
+        SELECT osm_id, COUNT(*) AS cell_count,
+               SUM(CAST((tile_x * 31 + tile_y * 17) % 1000 AS DOUBLE)) AS value_sum
+        FROM cand
+        WHERE tile_x BETWEEN {min_tx - 2} AND {max_tx + 2}
+          AND tile_y BETWEEN {min_ty - 2} AND {max_ty + 2}
+        GROUP BY osm_id
+        """,
+    )
+
+    # ---- interior point (boxCenter kernel, 3857 frame) --------------------------
+    def box_center(spark, sf_dir):
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        from ..functions import geometry as g
+
+        rects = rect_buildings(spark, sf_dir)
+        schema = T.StructType(
+            [
+                T.StructField("osm_id", T.LongType()),
+                T.StructField("mid_x", T.DoubleType()),
+                T.StructField("mid_y", T.DoubleType()),
+            ]
+        )
+
+        def _mid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, mx, my = [], [], []
+                for osm_id, rings_raw in zip(pdf["osm_id"], pdf["geometry"]):
+                    rings = [
+                        np.asarray([[float(p[0]), float(p[1])] for p in ring])
+                        for ring in rings_raw
+                    ]
+                    x, y = g.interior_point(rings)
+                    ids.append(osm_id)
+                    mx.append(x)
+                    my.append(y)
+                yield pd.DataFrame({"osm_id": ids, "mid_x": mx, "mid_y": my})
+
+        return rects.select("osm_id", "geometry").mapInPandas(_mid, schema=schema)
+
+    q["interior_point_rects"] = (
+        box_center,
+        f"""
+        WITH r AS ({RECTS_XY_SQL})
+        SELECT osm_id, (x0 + x1) / 2 AS mid_x, (y0 + y1) / 2 AS mid_y FROM r
+        """,
+    )
+
+    # ---- height kernel ----------------------------------------------------------
+    def height_params(spark, sf_dir):
+        props = synth_props(spark, sf_dir)
+        return with_building_params(props).select(
+            "osm_id",
+            "building_levels",
+            "building_height",
+            "building_min_height",
+            "building_roof_height",
+        )
+
+    q["height_params"] = (
+        height_params,
+        HEIGHT_KERNEL_SQL.format(source=SYNTH_PROPS_SQL, id_col="osm_id"),
+    )
+
+    # ---- windows denylist + osm_url ---------------------------------------------
+    def windows_flag(spark, sf_dir):
+        props = synth_props(spark, sf_dir)
+        return with_building_params(props).select("osm_id", "building_windows")
+
+    q["windows_denylist"] = (
+        windows_flag,
+        HEIGHT_KERNEL_SQL.format(source=SYNTH_PROPS_SQL, id_col="osm_id").replace(
+            """SELECT osm_id,
+       lvls - min_lvl AS building_levels,
+       hgt AS building_height,
+       CASE WHEN building_type = 'roof' THEN hgt - roof_h ELSE min_h END AS building_min_height,
+       roof_h AS building_roof_height
+FROM mh""",
+            """SELECT osm_id,
+       CASE WHEN hgt - min_h - roof_h < 2.0 THEN FALSE
+            ELSE building_type NOT IN ('garage','garages','greenhouse','storage_tank',
+                 'bunker','silo','stadium','ship','castle','service','digester',
+                 'water_tower','shed','ger','barn','slurry_tank','container','carport')
+       END AS building_windows
+FROM mh""",
+        ),
+    )
+
+    def osm_url(spark, sf_dir):
+        from ..functions.params import osm_url_col
+
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        osm_type = (
+            F.when(F.col("p_partkey") % 3 == 0, F.lit("node"))
+            .when(F.col("p_partkey") % 3 == 1, F.lit("way"))
+            .otherwise(F.lit("relation"))
+        )
+        return part.select(
+            F.col("p_partkey").alias("osm_id"),
+            osm_url_col(F.col("p_partkey"), osm_type).alias("osm_url"),
+        )
+
+    q["osm_url"] = (
+        osm_url,
+        """
+        SELECT p_partkey AS osm_id,
+               'https://www.openstreetmap.org/' ||
+               (CASE WHEN p_partkey % 3 = 0 THEN 'node'
+                     WHEN p_partkey % 3 = 1 THEN 'way' ELSE 'relation' END) ||
+               '/' || CAST(p_partkey AS VARCHAR) AS osm_url
+        FROM part
+        """,
+    )
+
+    q.update(build_relational_queries())
+    q.update(build_webtext_queries())
+    return q
+
+
+# ---------------------------------------------------------------------------
+# relational spine (TPC-H-ish) — proves groupBy/join/window/sort coverage
+# ---------------------------------------------------------------------------
+
+
+def _scaled(col: str) -> F.Column:
+    """Scale doubles to int64 cents before SUM — fp addition order is engine-
+    dependent; integer sums are exact."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def build_relational_queries() -> dict:
+    q: dict = {}
+
+    def q1(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(_scaled("l_quantity")).alias("sum_qty_c"),
+                F.sum(_scaled("l_extendedprice")).alias("sum_price_c"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["agg_pricing_summary"] = (
+        q1,
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+
+    def q3(spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        revenue = F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100 + F.lit(0.5)
+        ).cast("long")
+        joined = (
+            cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, cust["c_custkey"] == orders["o_custkey"])
+            .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        )
+        return (
+            joined.groupBy("o_orderkey")
+            .agg(F.sum(revenue).alias("revenue_c"))
+            .orderBy(F.desc("revenue_c"), F.col("o_orderkey"))
+            .limit(10)
+        )
+
+    q["join_topk_revenue"] = (
+        q3,
+        """
+        SELECT o_orderkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_c
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue_c DESC, o_orderkey
+        LIMIT 10
+        """,
+    )
+
+    def top_orders(spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc(_scaled("o_totalprice")), F.col("o_orderkey")
+        )
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "rn", "o_orderkey")
+        )
+
+    q["window_top_orders_per_customer"] = (
+        top_orders,
+        """
+        SELECT o_custkey, rn, o_orderkey FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                                o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+        """,
+    )
+
+    def tumbling(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        return (
+            ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum(_scaled("value")).alias("value_sum_c"))
+            .select(
+                F.col("win.start").cast("long").alias("window_start_epoch"),
+                "event_type",
+                "n",
+                "value_sum_c",
+            )
+        )
+
+    q["events_tumbling_counts"] = (
+        tumbling,
+        """
+        SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start_epoch,
+               event_type, COUNT(*) AS n,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_sum_c
+        FROM events GROUP BY 1, 2
+        """,
+    )
+
+    def sessionized(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)) > 1800, 1
+        ).otherwise(0)
+        marked = ev.withColumn("new_sess", F.coalesce(gap, F.lit(0)))
+        sess = marked.withColumn("session_id", F.sum("new_sess").over(w))
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"),
+            F.min(F.col("ts").cast("long")).alias("session_start_epoch"),
+        )
+
+    q["events_sessionize"] = (
+        sessionized,
+        """
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) -
+                             lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(COALESCE(new_sess, 0)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS session_start_epoch
+        FROM sess GROUP BY user_id, session_id
+        """,
+    )
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# webtext / training-data ops over documents + embeddings
+# ---------------------------------------------------------------------------
+
+_STOP_EN = "'the','and','of','to','in','is','that','for','with','was','on','it'"
+_STOP_FR = "'le','la','les','de','des','et','est','que','pour','dans','une','un'"
+_STOP_DE = "'der','die','das','und','ist','von','mit','für','auf','ein','eine','zu'"
+_STOP_ES = "'el','la','los','de','y','es','que','para','con','una','un','en'"
+_STOP_EN_L = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was", "on", "it"]
+_STOP_FR_L = ["le", "la", "les", "de", "des", "et", "est", "que", "pour", "dans", "une", "un"]
+_STOP_DE_L = ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein", "eine", "zu"]
+_STOP_ES_L = ["el", "la", "los", "de", "y", "es", "que", "para", "con", "una", "un", "en"]
+
+
+def build_webtext_queries() -> dict:
+    q: dict = {}
+
+    def dedup(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return exact_dedup(docs)
+
+    q["dedup_exact"] = (
+        dedup,
+        """
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+        """,
+    )
+
+    def token_count(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens")
+        )
+
+    q["token_count"] = (
+        token_count,
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    )
+
+    def stopword_ratio(spark, sf_dir):
+        # same explode shape as lang_id (codegen over interpreted HOFs)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = F.split(F.lower(F.col("text")), " ", -1)
+        all_stops = sorted(set(_STOP_EN_L + _STOP_FR_L + _STOP_DE_L + _STOP_ES_L))
+        ex = docs.select("doc_id", F.size(toks).alias("n_toks"), F.explode_outer(toks).alias("tok"))
+        votes = ex.groupBy("doc_id", "n_toks").agg(
+            F.sum(F.when(F.col("tok").isin(all_stops), 1).otherwise(0)).alias("n_stop")
+        )
+        ratio = F.when(F.col("n_toks") == 0, F.lit(0.0)).otherwise(
+            F.col("n_stop").cast("double") / F.col("n_toks").cast("double")
+        )
+        return votes.select("doc_id", ratio.alias("stopword_ratio"))
+
+    all_stops_sql = ",".join(
+        f"'{s}'" for s in sorted(set(_STOP_EN_L + _STOP_FR_L + _STOP_DE_L + _STOP_ES_L))
+    )
+    q["quality_stopword_ratio"] = (
+        stopword_ratio,
+        f"""
+        SELECT doc_id,
+               CASE WHEN len(string_split(lower(text), ' ')) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t IN ({all_stops_sql}))) AS DOUBLE)
+                         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+               END AS stopword_ratio
+        FROM documents
+        """,
+    )
+
+    def langid(spark, sf_dir):
+        # explode + codegen'd isin + groupBy, NOT higher-order-function lambdas:
+        # HOF filter() is interpreted (no whole-stage codegen) and the 4-way vote
+        # CASE would evaluate it ~14×; this shape is one shuffle on doc_id with
+        # map-side partial aggregation.
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = F.split(F.lower(F.col("text")), " ", -1)
+        ex = docs.select("doc_id", F.explode_outer(toks).alias("tok"))
+        votes = ex.groupBy("doc_id").agg(
+            F.sum(F.when(F.col("tok").isin(_STOP_EN_L), 1).otherwise(0)).alias("v_en"),
+            F.sum(F.when(F.col("tok").isin(_STOP_FR_L), 1).otherwise(0)).alias("v_fr"),
+            F.sum(F.when(F.col("tok").isin(_STOP_DE_L), 1).otherwise(0)).alias("v_de"),
+            F.sum(F.when(F.col("tok").isin(_STOP_ES_L), 1).otherwise(0)).alias("v_es"),
+        )
+        v = {k: F.col(f"v_{k}") for k in ("en", "fr", "de", "es")}
+        # argmax with tie order en > fr > de > es; all-zero → 'und'
+        pred = (
+            F.when(
+                (v["en"] >= v["fr"]) & (v["en"] >= v["de"]) & (v["en"] >= v["es"]) & (v["en"] > 0),
+                F.lit("en"),
+            )
+            .when((v["fr"] >= v["de"]) & (v["fr"] >= v["es"]) & (v["fr"] > 0), F.lit("fr"))
+            .when((v["de"] >= v["es"]) & (v["de"] > 0), F.lit("de"))
+            .when(v["es"] > 0, F.lit("es"))
+            .otherwise(F.lit("und"))
+        )
+        return votes.select("doc_id", pred.alias("predicted_lang"))
+
+    def _votes_sql(stops: str) -> str:
+        return f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({stops})))"
+
+    ven, vfr, vde, ves = (
+        _votes_sql(_STOP_EN),
+        _votes_sql(_STOP_FR),
+        _votes_sql(_STOP_DE),
+        _votes_sql(_STOP_ES),
+    )
+    q["lang_id"] = (
+        langid,
+        f"""
+        SELECT doc_id,
+               CASE
+                 WHEN {ven} >= {vfr} AND {ven} >= {vde} AND {ven} >= {ves} AND {ven} > 0 THEN 'en'
+                 WHEN {vfr} >= {vde} AND {vfr} >= {ves} AND {vfr} > 0 THEN 'fr'
+                 WHEN {vde} >= {ves} AND {vde} > 0 THEN 'de'
+                 WHEN {ves} > 0 THEN 'es'
+                 ELSE 'und'
+               END AS predicted_lang
+        FROM documents
+        """,
+    )
+
+    def ngram_fp(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = F.split(F.lower(F.col("text")), " ", -1)
+        fp = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+        return docs.select("doc_id", F.md5(fp).alias("vocab_fingerprint"))
+
+    q["vocab_fingerprint"] = (
+        ngram_fp,
+        """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+                   AS vocab_fingerprint
+        FROM documents
+        """,
+    )
+
+    def doc_stats(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return docs.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+
+    q["doc_length_stats"] = (
+        doc_stats,
+        """
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+        """,
+    )
+
+    def ann(spark, sf_dir):
+        from ..operators.similarity import ann_bruteforce_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return ann_bruteforce_topk(emb, queries, k=10).select("query_id", "rank", "vec_id")
+
+    q["ann_topk"] = (
+        ann,
+        """
+        WITH unit AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x /
+                       sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y), 'sum')))
+                   AS u
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, b.vec_id,
+                   list_aggregate(list_transform(list_zip(b.u, q.u),
+                       p -> p[1] * p[2]), 'sum') AS cosine
+            FROM unit b, unit q WHERE q.vec_id < 5
+        ),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+        """,
+    )
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL oracle — custom kernels the driver checks weakly)
+# ---------------------------------------------------------------------------
+
+
+def build_rows_only_queries() -> dict:
+    from ..operators.dedup import minhash_lsh_pairs, simhash_pairs, embedding_neardup_pairs
+    from ..operators.multimodal import extract_features, make_media_fixture
+    from ..operators.similarity import ann_ivf_topk
+    from ..operators.textops import with_lang_id, with_quality
+    from ..plans.pipeline import flagship
+    from ..sources import fixtures as fx
+
+    def _sf_of(sf_dir: str) -> float:
+        try:
+            return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+        except Exception:
+            return 0.001
+
+    q: dict = {}
+
+    def flagship_pages(spark, sf_dir):
+        sf = min(_sf_of(sf_dir), 0.01)  # keep the correctness-gate run fast
+        pages = fx.load_fixture(spark, "pages", sf)
+        buildings = fx.load_fixture(spark, "buildings", sf)
+        out = flagship(pages, buildings)
+        return out["join_rows"].join(out["tile_assignment"], "osm_id").select(
+            "url", "osm_id", "tile_key"
+        )
+
+    q["flagship_pages_pipeline"] = flagship_pages
+
+    def minhash(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_pairs(docs, threshold=0.5)
+
+    q["dedup_minhash_lsh"] = minhash
+
+    def simhash_q(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return simhash_pairs(docs, max_hamming=8)
+
+    q["dedup_simhash"] = simhash_q
+
+    def emb_neardup(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_neardup_pairs(emb, threshold=0.9)
+
+    q["dedup_embedding_cosine"] = emb_neardup
+
+    def ann_ivf(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return ann_ivf_topk(emb, queries, k=10).select("query_id", "rank", "vec_id")
+
+    q["ann_ivf_topk"] = ann_ivf
+
+    def langid_ngram(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return with_lang_id(docs).select("doc_id", "predicted_lang")
+
+    q["lang_id_ngram"] = langid_ngram
+
+    def quality(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return with_quality(docs).select(
+            "doc_id", "n_tokens", "stopword_ratio", "alpha_ratio", "mean_word_len"
+        )
+
+    q["quality_features"] = quality
+
+    def multimodal(spark, sf_dir):
+        media = make_media_fixture(spark, 64)
+        return extract_features(media)
+
+    q["multimodal_features"] = multimodal
+
+    return q
+
