@@ -1,0 +1,460 @@
+"""Straight skeleton of a simple polygon — Felkel/Obdržálek wavefront algorithm.
+
+The reference consumes a WASM `straight-skeleton` package
+(/root/reference/src/building/tile3d-multipolygon.ts:1-3, 247-290) whose result it
+reshapes into per-original-edge face polygons (StraightSkeletonResult,
+tile3d-multipolygon.ts:27-61: face.vertices[0] == edgeEnd, face.vertices[-1] ==
+edgeStart). This module is an independent implementation of the same classical
+algorithm (Felkel & Obdržálek, "Straight skeleton implementation", SCCG 1998 —
+the published wavefront/LAV formulation, also the basis of the public `polyskel`
+implementations): vertices move inward along angle bisectors; edge events collapse
+wavefront edges, split events let reflex vertices split the wavefront. Output is
+the per-edge face decomposition the roof builders need, with face vertices in the
+cyclic order the reference expects.
+
+Only simple outer rings are supported (holes → None → the caller's flat-roof
+fallback, mirroring the reference's buildRoofSafe on a thrown skeleton).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_EPS = 1e-9
+
+
+def _norm(v):
+    l = math.hypot(v[0], v[1])
+    return (v[0] / l, v[1] / l) if l > 0 else (0.0, 0.0)
+
+
+def _cross(a, b):
+    return a[0] * b[1] - a[1] * b[0]
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1]
+
+
+def _approx(a, b, eps=1e-7):
+    return abs(a[0] - b[0]) <= eps and abs(a[1] - b[1]) <= eps
+
+
+def _line_intersect(p0, d0, p1, d1):
+    den = _cross(d0, d1)
+    if abs(den) < _EPS:
+        return None
+    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+    t = (dx * d1[1] - dy * d1[0]) / den
+    return (p0[0] + t * d0[0], p0[1] + t * d0[1])
+
+
+def _dist_to_line(p, a, b):
+    """Unsigned distance from p to the infinite line a→b."""
+    d = _norm((b[0] - a[0], b[1] - a[1]))
+    return abs(_cross(d, (p[0] - a[0], p[1] - a[1])))
+
+
+@dataclass
+class _Vertex:
+    point: tuple
+    edge_prev: int  # original edge index entering this vertex
+    edge_next: int  # original edge index leaving this vertex
+    bisector: tuple = (0.0, 0.0)
+    reflex: bool = False
+    valid: bool = True
+    prev: "_Vertex" = field(default=None, repr=False)
+    next: "_Vertex" = field(default=None, repr=False)
+    uid: int = 0
+
+
+class _Skeleton:
+    """Arcs: list of ((x1,y1,h1), (x2,y2,h2)) skeleton segments, endpoints carry
+    their wavefront height (0 for original polygon vertices)."""
+
+    def __init__(self):
+        self.arcs: list[tuple] = []
+
+    def add(self, a, ha, b, hb):
+        self.arcs.append(((a[0], a[1], ha), (b[0], b[1], hb)))
+
+
+def _bisector_for(point, e_prev_dir, e_next_dir):
+    """Inward bisector of the wavefront vertex between incoming edge direction
+    e_prev_dir and outgoing e_next_dir (both along ring CCW direction).
+    Returns (unit_dir, reflex)."""
+    # inward normals (polygon CCW -> interior on the left -> normal = rot90(dir))
+    n_prev = (-e_prev_dir[1], e_prev_dir[0])
+    n_next = (-e_next_dir[1], e_next_dir[0])
+    b = (n_prev[0] + n_next[0], n_prev[1] + n_next[1])
+    reflex = _cross(e_prev_dir, e_next_dir) < -_EPS
+    if abs(b[0]) < _EPS and abs(b[1]) < _EPS:
+        # edges anti-parallel: bisector along the edge direction
+        b = (e_prev_dir[0] - e_next_dir[0], e_prev_dir[1] - e_next_dir[1])
+        if abs(b[0]) < _EPS and abs(b[1]) < _EPS:
+            b = n_prev
+    b = _norm(b)
+    # the vertex velocity direction is normalize(n_prev + n_next) for BOTH convex
+    # and reflex vertices (it always points into the shrinking wavefront)
+    return b, reflex
+
+
+def _vertex_speed(v: _Vertex, edges) -> float:
+    """|bisector| per unit offset: 1/sin(theta/2) factor — computed as
+    1 / distance the bisector gains from the supporting edge per unit length."""
+    a, b = edges[v.edge_next]
+    d = _norm((b[0] - a[0], b[1] - a[1]))
+    n = (-d[1], d[0])
+    s = _dot(v.bisector, n)
+    return s  # offset gained per unit along bisector
+
+
+def straight_skeleton(ring: np.ndarray, max_iter: int = 10000):
+    """Compute the straight skeleton of a simple polygon.
+
+    ring: (n,2) array, closing vertex optional, any winding (normalized to CCW).
+    Returns (faces, arcs) where faces[i] is the list of (x, y, height) cyclic
+    vertices of original edge i's face — ordered [edge_end, ...skeleton...,
+    edge_start] — or None if the algorithm fails.
+    """
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    n = len(pts)
+    if n < 3:
+        return None
+    # drop exactly-duplicate consecutive points
+    keep = [0]
+    for i in range(1, n):
+        if not _approx(pts[i], pts[keep[-1]], 1e-12):
+            keep.append(i)
+    if _approx(pts[keep[-1]], pts[keep[0]], 1e-12) and len(keep) > 1:
+        keep.pop()
+    pts = pts[keep]
+    n = len(pts)
+    if n < 3:
+        return None
+
+    # normalize to CCW (shoelace > 0)
+    area2 = 0.0
+    for i in range(n):
+        j = (i + 1) % n
+        area2 += pts[i, 0] * pts[j, 1] - pts[j, 0] * pts[i, 1]
+    flipped = area2 < 0
+    if flipped:
+        pts = pts[::-1]
+
+    edges = [(tuple(pts[i]), tuple(pts[(i + 1) % n])) for i in range(n)]
+    edge_dirs = [_norm((b[0] - a[0], b[1] - a[1])) for a, b in edges]
+
+    uid_counter = [0]
+
+    def make_vertex(point, e_prev, e_next):
+        b, reflex = _bisector_for(point, edge_dirs[e_prev], edge_dirs[e_next])
+        uid_counter[0] += 1
+        return _Vertex(point=point, edge_prev=e_prev, edge_next=e_next,
+                       bisector=b, reflex=reflex, uid=uid_counter[0])
+
+    lav: list[_Vertex] = []
+    for i in range(n):
+        v = make_vertex(tuple(pts[i]), (i - 1) % n, i)
+        lav.append(v)
+    for i, v in enumerate(lav):
+        v.prev = lav[(i - 1) % n]
+        v.next = lav[(i + 1) % n]
+
+    skeleton = _Skeleton()
+    heights = {v.uid: 0.0 for v in lav}
+    points = {v.uid: v.point for v in lav}
+
+    queue: list = []
+    seq = [0]
+
+    def push(dist, kind, payload):
+        seq[0] += 1
+        heapq.heappush(queue, (dist, seq[0], kind, payload))
+
+    def edge_event_for(v: _Vertex):
+        """Collapse of edge between v and v.next (their bisectors meet)."""
+        w = v.next
+        p = _line_intersect(v.point, v.bisector, w.point, w.bisector)
+        if p is None:
+            return None
+        # must be forward along both bisectors
+        tv = _dot((p[0] - v.point[0], p[1] - v.point[1]), v.bisector)
+        tw = _dot((p[0] - w.point[0], p[1] - w.point[1]), w.bisector)
+        if tv < -1e-7 or tw < -1e-7:
+            return None
+        a, b = edges[v.edge_next]
+        h = _dist_to_line(p, a, b)
+        return (h, p)
+
+    def split_event_for(v: _Vertex):
+        """Reflex vertex v may split an opposite wavefront edge. Candidate points
+        per Felkel: for each original edge e not adjacent to v, B = meet of the
+        bisector between one of v's edges and e."""
+        if not v.reflex:
+            return []
+        out = []
+        for ei in range(n):
+            if ei in (v.edge_prev, v.edge_next):
+                continue
+            e_a, e_b = edges[ei]
+            e_dir = edge_dirs[ei]
+            # the reflex vertex's trailing edge line and e's line intersect at I;
+            # the split point B lies on the bisector of the angle at I.
+            for own in (v.edge_prev, v.edge_next):
+                own_a, own_b = edges[own]
+                own_dir = edge_dirs[own]
+                den = _cross(own_dir, e_dir)
+                if abs(den) < _EPS:
+                    continue
+                i_pt = _line_intersect(own_a, own_dir, e_a, e_dir)
+                if i_pt is None:
+                    continue
+                # direction of the bisector at i_pt between the two lines; both
+                # orientations of e are tried — invalid candidates are filtered
+                # here (behind v / outside e's interior side) and again at pop
+                # time (wavefront cone check)
+                lin_vec = _norm((v.point[0] - i_pt[0], v.point[1] - i_pt[1]))
+                for ed in (e_dir, (-e_dir[0], -e_dir[1])):
+                    bis_dir = _norm((lin_vec[0] + ed[0], lin_vec[1] + ed[1]))
+                    if abs(bis_dir[0]) < _EPS and abs(bis_dir[1]) < _EPS:
+                        continue
+                    b_pt = _line_intersect(v.point, v.bisector, i_pt, bis_dir)
+                    if b_pt is None:
+                        continue
+                    t = _dot((b_pt[0] - v.point[0], b_pt[1] - v.point[1]), v.bisector)
+                    if t < 1e-9:
+                        continue
+                    # B must lie on the interior side of edge e
+                    e_n = (-e_dir[1], e_dir[0])
+                    side = _dot((b_pt[0] - e_a[0], b_pt[1] - e_a[1]), e_n)
+                    if side < -1e-7:
+                        continue
+                    h = _dist_to_line(b_pt, e_a, e_b)
+                    out.append((h, b_pt, ei))
+        return out
+
+    def schedule(v: _Vertex):
+        ev = edge_event_for(v)
+        if ev is not None:
+            push(ev[0], "edge", (v, v.next, ev[1]))
+        if v.prev is not None:
+            ev2 = edge_event_for(v.prev)
+            if ev2 is not None:
+                push(ev2[0], "edge", (v.prev, v, ev2[1]))
+        for h, b_pt, ei in split_event_for(v):
+            push(h, "split", (v, b_pt, ei))
+
+    for v in lav:
+        ev = edge_event_for(v)
+        if ev is not None:
+            push(ev[0], "edge", (v, v.next, ev[1]))
+        for h, b_pt, ei in split_event_for(v):
+            push(h, "split", (v, b_pt, ei))
+
+    alive = set(v.uid for v in lav)
+
+    def lav_length(v: _Vertex) -> int:
+        count = 1
+        w = v.next
+        while w is not v and count <= n * 2 + 4:
+            count += 1
+            w = w.next
+        return count
+
+    iterations = 0
+    while queue and alive and iterations < max_iter:
+        iterations += 1
+        dist, _, kind, payload = heapq.heappop(queue)
+        if kind == "edge":
+            va, vb, p = payload
+            if not (va.valid and vb.valid) or va.next is not vb:
+                continue
+            if lav_length(va) == 2:
+                # degenerate pair — connect and finish this loop
+                skeleton.add(va.point, heights[va.uid], vb.point, heights[vb.uid])
+                va.valid = vb.valid = False
+                alive.discard(va.uid)
+                alive.discard(vb.uid)
+                continue
+            if lav_length(va) == 3:
+                vc = vb.next
+                skeleton.add(va.point, heights[va.uid], p, dist)
+                skeleton.add(vb.point, heights[vb.uid], p, dist)
+                skeleton.add(vc.point, heights[vc.uid], p, dist)
+                for vv in (va, vb, vc):
+                    vv.valid = False
+                    alive.discard(vv.uid)
+                continue
+            # ordinary edge event: merge va+vb into new vertex at p
+            skeleton.add(va.point, heights[va.uid], p, dist)
+            skeleton.add(vb.point, heights[vb.uid], p, dist)
+            va.valid = vb.valid = False
+            alive.discard(va.uid)
+            alive.discard(vb.uid)
+            nv = make_vertex(p, va.edge_prev, vb.edge_next)
+            heights[nv.uid] = dist
+            points[nv.uid] = p
+            nv.prev = va.prev
+            nv.next = vb.next
+            va.prev.next = nv
+            vb.next.prev = nv
+            alive.add(nv.uid)
+            schedule(nv)
+        else:  # split
+            v, b_pt, ei = payload
+            if not v.valid:
+                continue
+            # locate the wavefront edge derived from original edge ei in v's LAV
+            x = None
+            w = v.next
+            guard = 0
+            while w is not v and guard < 4 * n + 8:
+                guard += 1
+                if w.edge_next == ei and w.valid:
+                    # b_pt must lie within the cone of w and w.next bisectors
+                    wn = w.next
+                    d_w = _cross(w.bisector, (b_pt[0] - w.point[0], b_pt[1] - w.point[1]))
+                    d_wn = _cross(wn.bisector, (b_pt[0] - wn.point[0], b_pt[1] - wn.point[1]))
+                    if d_w <= 1e-7 and d_wn >= -1e-7:
+                        x = w
+                        break
+                w = w.next
+            if x is None:
+                continue
+            y = x.next
+            skeleton.add(v.point, heights[v.uid], b_pt, dist)
+            v.valid = False
+            alive.discard(v.uid)
+
+            # two new vertices replacing v, splitting the loop in two
+            v1 = make_vertex(b_pt, v.edge_prev, ei)
+            v2 = make_vertex(b_pt, ei, v.edge_next)
+            heights[v1.uid] = dist
+            heights[v2.uid] = dist
+            points[v1.uid] = b_pt
+            points[v2.uid] = b_pt
+
+            # loop 1: v.prev -> v1 -> y ...
+            v1.prev = v.prev
+            v1.next = y
+            v.prev.next = v1
+            y.prev = v1
+            # loop 2: x -> v2 -> v.next ...
+            v2.prev = x
+            v2.next = v.next
+            x.next = v2
+            v.next.prev = v2
+
+            alive.add(v1.uid)
+            alive.add(v2.uid)
+            for loop_head in (v1, v2):
+                if lav_length(loop_head) < 3:
+                    a = loop_head
+                    b = loop_head.next
+                    skeleton.add(a.point, heights[a.uid], b.point, heights[b.uid])
+                    a.valid = b.valid = False
+                    alive.discard(a.uid)
+                    alive.discard(b.uid)
+                else:
+                    schedule(loop_head)
+
+    if alive:
+        return None  # did not converge — caller falls back to flat
+
+    faces = _faces_from_arcs(pts, skeleton.arcs)
+    if faces is None:
+        return None
+    if flipped:
+        # map faces back to original edge indices: original edge i corresponds
+        # to reversed edge (n-2-i) mod n of the CCW ring
+        remapped = [None] * n
+        for i_ccw in range(n):
+            orig = (n - 2 - i_ccw) % n
+            remapped[orig] = faces[i_ccw]
+        faces = remapped
+    return faces
+
+
+def _faces_from_arcs(pts: np.ndarray, arcs):
+    """Reconstruct per-edge faces from boundary + skeleton arcs via leftmost-turn
+    planar traversal. Returns list of faces (list of (x, y, h)) per original edge
+    where face[k][0] == edge end, face[k][-1] == edge start."""
+    n = len(pts)
+    key = lambda p: (round(p[0], 7), round(p[1], 7))
+    nodes: dict = {}
+    height: dict = {}
+
+    def node(p, h):
+        k = key(p)
+        if k not in nodes:
+            nodes[k] = (p[0], p[1])
+        if k not in height or h < height[k]:
+            height[k] = h
+        return k
+
+    adj: dict = {}
+
+    def add_edge(a, b):
+        if a == b:
+            return
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    boundary_keys = []
+    for i in range(n):
+        boundary_keys.append(node(tuple(pts[i]), 0.0))
+    for (a, b) in zip(boundary_keys, boundary_keys[1:] + boundary_keys[:1]):
+        add_edge(a, b)
+    for (p, q) in arcs:
+        ka = node((p[0], p[1]), p[2])
+        kb = node((q[0], q[1]), q[2])
+        add_edge(ka, kb)
+
+    def angle(a, b):
+        return math.atan2(nodes[b][1] - nodes[a][1], nodes[b][0] - nodes[a][0])
+
+    faces_out = []
+    for i in range(n):
+        a = boundary_keys[i]
+        b = boundary_keys[(i + 1) % n]
+        # walk: a -> b, then repeatedly take the most-clockwise (rightmost) turn
+        # relative to the incoming direction, which traces the face left of a->b
+        face = [a, b]
+        prev, cur = a, b
+        guard = 0
+        ok = False
+        while guard < 1000:
+            guard += 1
+            incoming = angle(cur, prev)
+            best = None
+            best_delta = None
+            for nxt in adj.get(cur, ()):  # choose smallest CW rotation from incoming
+                if nxt == prev and len(adj[cur]) > 1:
+                    continue
+                ang = angle(cur, nxt)
+                delta = (incoming - ang) % (2 * math.pi)
+                if delta < 1e-12:
+                    delta = 2 * math.pi
+                if best_delta is None or delta < best_delta:
+                    best_delta = delta
+                    best = nxt
+            if best is None:
+                break
+            if best == a:
+                ok = True
+                break
+            face.append(best)
+            prev, cur = cur, best
+        if not ok or len(face) < 3:
+            return None
+        # reference face order: [edgeEnd, ...skeleton..., edgeStart]
+        ordered = face[1:] + face[:1]
+        faces_out.append([(nodes[k][0], nodes[k][1], height[k]) for k in ordered])
+    return faces_out

@@ -859,6 +859,67 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    # ---- 3D construction: per-building surface metrics through the REAL roof +
+    # walls kernels (flat default path); the oracle states the closed-form areas
+    # for axis-aligned rectangles ------------------------------------------------
+    def build3d_metrics(spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        rects = rect_buildings(spark, sf_dir).select(
+            "osm_id", "x0", "y0", "x1", "y1",
+            (F.lit(12.0) + (F.col("osm_id") % 5).cast("double") * 4.0).alias("bh"),
+        )
+
+        schema = T.StructType([
+            T.StructField("osm_id", T.LongType()),
+            T.StructField("roof_area_l", T.LongType()),
+            T.StructField("wall_area_l", T.LongType()),
+        ])
+
+        def _metrics(batches):
+            from ..operators.build3d import build_single_building
+
+            for pdf in batches:
+                ids, roof_l, wall_l = [], [], []
+                for row in pdf.itertuples():
+                    # tile-local framing: offset by the rect's own corner so the
+                    # kernels run at local precision (same as the tile offset)
+                    w = row.x1 - row.x0
+                    h = row.y1 - row.y0
+                    ring = [[0.0, 0.0], [w, 0.0], [w, h], [0.0, h], [0.0, 0.0]]
+                    desc = dict(
+                        building_height=row.bh, building_min_height=0.0,
+                        building_roof_height=0.0, building_levels=3.0,
+                        building_roof_type="flat", building_roof_material="default",
+                        building_roof_color=None, building_roof_direction=None,
+                        building_roof_orientation=None,
+                        building_facade_material="cementBlock",
+                        building_facade_color=None,
+                    )
+                    acc = build_single_building(desc, [np.asarray(ring)], ["outer"])
+                    pos = np.concatenate(acc.position).reshape(-1, 3, 3)
+                    cr = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+                    total = np.linalg.norm(cr, axis=1).sum() / 2.0
+                    roof = np.abs(cr[:, 2]).sum() / 2.0  # xy-projected = horizontal
+                    ids.append(row.osm_id)
+                    roof_l.append(int(np.floor(roof + 0.5)))
+                    wall_l.append(int(np.floor(total - roof + 0.5)))
+                yield pd.DataFrame({"osm_id": ids, "roof_area_l": roof_l, "wall_area_l": wall_l})
+
+        return rects.mapInPandas(_metrics, schema=schema)
+
+    q["build3d_rect_metrics"] = (
+        build3d_metrics,
+        f"""
+        WITH r0 AS ({RECTS_SQL})
+        SELECT osm_id,
+               CAST(FLOOR(4 * hw * hh + 0.5) AS BIGINT) AS roof_area_l,
+               CAST(FLOOR((4 * hw + 4 * hh) * (12 + (osm_id % 5) * 4) + 0.5) AS BIGINT) AS wall_area_l
+        FROM r0
+        """,
+    )
+
     return q
 
 
@@ -940,6 +1001,22 @@ def build_rows_only_queries() -> dict:
         return extract_features(media)
 
     q["multimodal_features"] = multimodal
+
+    def build3d_tiles(spark, sf_dir):
+        from ..functions.params import with_building_params
+        from ..operators.build3d import build_tiles_3d
+        from ..operators.cells import building_cells
+        from ..operators.ownership import owner_tiles
+
+        sf = min(_sf_of(sf_dir), 0.01)
+        blds = fx.load_fixture(spark, "buildings", sf).filter(F.col("layer") == "buildings")
+        owners = owner_tiles(building_cells(blds)).select("osm_id", "tile_key")
+        assigned = with_building_params(blds).join(owners, "osm_id")
+        return build_tiles_3d(assigned).select(
+            "tile_key", "batch_length", "n_vertices"
+        )
+
+    q["build3d_tiles"] = build3d_tiles
 
     return q
 

@@ -1,0 +1,319 @@
+"""Golden tests for the Phase-3 3D construction stack: colors/RNG, atlas, roof
+kernels (flat/skillion/curved/skeleton families), walls, straight skeleton, and
+the per-tile build_tiles_3d operator (reference build3dBuilding.ts semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from osm_data_3d_tiles_spark.functions import roofs, walls
+from osm_data_3d_tiles_spark.functions.atlas import (
+    ExtrudedTextures,
+    atlas_transform_for_texture,
+    tile_uv_transform,
+)
+from osm_data_3d_tiles_spark.functions.colors import (
+    SeededRandom,
+    color_to_components,
+    parse_color,
+)
+from osm_data_3d_tiles_spark.functions.mesh import (
+    compute_vertex_normals,
+    flip_triangle_winding,
+)
+from osm_data_3d_tiles_spark.functions.skeleton import straight_skeleton
+from osm_data_3d_tiles_spark.functions.skeleton_roofs import skeleton_roof
+from osm_data_3d_tiles_spark.operators.build3d import (
+    _normalize_rings,
+    build_single_building,
+)
+
+SQUARE = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+RECT = np.array([[0, 0], [20, 0], [20, 10], [0, 10], [0, 0]], dtype=float)
+L_SHAPE = np.array(
+    [[0, 0], [20, 0], [20, 8], [8, 8], [8, 20], [0, 20], [0, 0]], dtype=float
+)
+
+
+def tri_area_xy(position: np.ndarray) -> float:
+    t = np.asarray(position, dtype=np.float64).reshape(-1, 3, 3)
+    return float(np.abs(np.cross(t[:, 1, :2] - t[:, 0, :2], t[:, 2, :2] - t[:, 0, :2]) / 2).sum())
+
+
+def base_params(ring, **kw):
+    p = dict(
+        rings=[ring], ring_types=["outer"], min_height=12.0, height=3.0,
+        scale_x=10.0, scale_y=10.0, is_stretched=False, texture_id=3,
+        direction=None, orientation=None, angle=None, building_height=15.0,
+    )
+    p.update(kw)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# colors + RNG (bit-exact against JS, verified manually with node)
+# ---------------------------------------------------------------------------
+
+
+class TestColors:
+    def test_named_and_hex(self):
+        assert parse_color("red") == 0xFF0000
+        assert parse_color("#aa3322") == 0xAA3322
+        assert parse_color("Dark_Slate-Gray") == 0x2F4F4F  # separators stripped
+        assert parse_color("#8C4834;ignored") == 0x8C4834
+        assert parse_color("no-such-color") is None
+        assert parse_color("#abc") is None  # 3-digit hex unsupported (parity)
+        assert parse_color("") is None and parse_color(None) is None
+
+    def test_color_to_components_sign_quirk(self):
+        # JS `0xFF333333 >> 16` sign-extends; Uint8Array wraps it to 0x33 later
+        r, gg, b = color_to_components(0xFF333333)
+        assert (r, gg, b) == (-205, 51, 51)
+        assert np.array([r], dtype=np.int64).astype(np.uint8)[0] == 0x33
+
+    def test_seeded_random_bit_exact(self):
+        # golden values from the reference chain run in node (seed default + 123)
+        r = SeededRandom(None)
+        got = [round(r.generate(), 6) for _ in range(4)]
+        assert got == [0.987282, 0.348803, 0.563193, 0.999017]
+        r2 = SeededRandom(123)
+        assert [round(r2.generate(), 6) for _ in range(2)] == [0.424311, 0.035201]
+
+
+class TestAtlas:
+    def test_tile_uv_transform_golden(self):
+        # col 0 / row 4: px=2, py=2066 (building_textures.ts:305-340)
+        off_x, off_y, sc_x, sc_y = tile_uv_transform(2, 2)
+        assert off_x == pytest.approx((2 + 2) / 2580)
+        assert off_y == pytest.approx((2 + 4 * 516 + 2) / 2580)
+        assert sc_x == pytest.approx(512 / 2580 - 4 / 2580)
+
+    def test_all_texture_frames_resolve(self):
+        for tid in range(14):
+            off_x, off_y, sc_x, sc_y = atlas_transform_for_texture(tid)
+            assert 0 <= off_x <= 1 and 0 <= off_y <= 1 and sc_x > 0 and sc_y > 0
+
+
+# ---------------------------------------------------------------------------
+# roof kernels
+# ---------------------------------------------------------------------------
+
+
+class TestFlatRoof:
+    def test_area_conserved_and_height(self):
+        r = roofs.flat_roof(base_params(RECT))
+        pos = r["position"].reshape(-1, 3)
+        assert tri_area_xy(r["position"]) == pytest.approx(200.0)
+        assert np.all(pos[:, 2] == 12.0)
+        assert np.all(r["normal"].reshape(-1, 3) == [0, 0, 1])
+
+    def test_hole_subtracted(self):
+        outer = SQUARE
+        hole = np.array([[3, 3], [3, 7], [7, 7], [7, 3], [3, 3]], dtype=float)
+        r = roofs.flat_roof({**base_params(outer), "rings": [outer, hole],
+                             "ring_types": ["outer", "inner"]})
+        assert tri_area_xy(r["position"]) == pytest.approx(100.0 - 16.0)
+
+    def test_uv_inside_atlas_frame(self):
+        r = roofs.flat_roof(base_params(RECT, texture_id=1))
+        off_x, off_y, sc_x, sc_y = atlas_transform_for_texture(1)
+        uv = r["uv"].reshape(-1, 2)
+        assert uv[:, 0].min() >= off_x - 1e-9
+        assert uv[:, 0].max() <= off_x + sc_x + 1e-9
+
+
+class TestSkillionRoof:
+    def test_ramp(self):
+        r = roofs.skillion_roof(base_params(RECT, height=4.0, min_height=11.0))
+        pos = r["position"].reshape(-1, 3)
+        assert tri_area_xy(r["position"]) == pytest.approx(200.0)
+        assert pos[:, 2].min() == pytest.approx(11.0)
+        assert pos[:, 2].max() == pytest.approx(15.0)
+        assert r["add_skirt"] and len(r["skirt"]) == 1
+
+    def test_angle_override(self):
+        r = roofs.skillion_roof(base_params(RECT, angle=45.0, building_height=15.0))
+        # rotated-AABB height is 20 (the long side ends up as the ramp axis for
+        # a 20x10 rect with along-OMBB rotation) -> roof height = span*tan(45)
+        assert r["facade_height_override"] is not None
+
+
+class TestCurvedRoofs:
+    @pytest.mark.parametrize("splits,is_edgy,apex", [
+        (roofs.SPLITS_PYRAMIDAL, True, 17.0),
+        (roofs.SPLITS_DOME, False, 17.0),
+    ])
+    def test_apex_and_area(self, splits, is_edgy, apex):
+        r = roofs.curved_roof(base_params(RECT, height=5.0), splits, is_edgy)
+        pos = r["position"].reshape(-1, 3)
+        assert pos[:, 2].max() == pytest.approx(apex)
+        assert tri_area_xy(r["position"]) == pytest.approx(200.0, rel=1e-6)
+
+    def test_onion_bulge_extends_past_footprint(self):
+        r = roofs.curved_roof(base_params(SQUARE, height=5.0), roofs.SPLITS_ONION, False)
+        pos = r["position"].reshape(-1, 3)
+        # onion profile has radius 1.176 > 1 -> geometry extends outside footprint
+        assert pos[:, 0].max() > 10.0
+
+
+class TestStraightSkeleton:
+    def test_square_center_apex(self):
+        faces = straight_skeleton(np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float))
+        assert faces is not None and len(faces) == 4
+        for f in faces:
+            assert len(f) == 3
+            apex = [v for v in f if v[2] > 0]
+            assert len(apex) == 1
+            assert apex[0][:2] == pytest.approx((5.0, 5.0))
+            assert apex[0][2] == pytest.approx(5.0)
+
+    def test_rect_ridge(self):
+        faces = straight_skeleton(np.array([[0, 0], [20, 0], [20, 10], [0, 10]], float))
+        ridge = {tuple(np.round(v[:2], 6)) for f in faces for v in f if v[2] > 0}
+        assert ridge == {(5.0, 5.0), (15.0, 5.0)}
+
+    @pytest.mark.parametrize("ring,area", [
+        (L_SHAPE, 256.0),
+        (np.array([[0, 0], [30, 0], [30, 8], [20, 8], [20, 20], [10, 20], [10, 8], [0, 8]], float), 360.0),
+        (np.array([[0, 0], [30, 0], [30, 20], [22, 20], [22, 8], [8, 8], [8, 20], [0, 20]], float), 432.0),
+    ])
+    def test_faces_tile_polygon(self, ring, area):
+        faces = straight_skeleton(ring)
+        assert faces is not None
+        tot = 0.0
+        for f in faces:
+            xy = np.array([(v[0], v[1]) for v in f])
+            x, y = xy[:, 0], xy[:, 1]
+            tot += abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2
+        assert tot == pytest.approx(area)
+
+    def test_winding_invariance(self):
+        f_ccw = straight_skeleton(L_SHAPE)
+        f_cw = straight_skeleton(L_SHAPE[::-1])
+        assert f_ccw is not None and f_cw is not None
+        pts = lambda fs: sorted({(round(v[0], 6), round(v[1], 6)) for f in fs for v in f})
+        assert pts(f_ccw) == pts(f_cw)
+
+
+class TestSkeletonRoofs:
+    @pytest.mark.parametrize("rtype", ["hipped", "gabled", "gambrel", "mansard", "quadrupleSaltbox"])
+    def test_area_and_heights(self, rtype):
+        r = skeleton_roof(base_params(RECT, texture_id=1, scale_x=3.0, scale_y=3.0), rtype)
+        assert r is not None
+        pos = r["position"].reshape(-1, 3)
+        assert tri_area_xy(r["position"]) == pytest.approx(200.0, rel=1e-6)
+        assert pos[:, 2].min() == pytest.approx(12.0)
+        assert pos[:, 2].max() == pytest.approx(15.0)
+
+    def test_gabled_has_gable_skirts(self):
+        r = skeleton_roof(base_params(RECT, texture_id=1, scale_x=3.0, scale_y=3.0), "gabled")
+        assert r["add_skirt"] and len(r["skirt"]) == 2  # two gable ends on a rect
+        for part in r["skirt"]:
+            assert part["heights"].max() == pytest.approx(15.0)  # ridge height
+            assert not part["has_windows"]
+
+    def test_l_shape_hipped(self):
+        r = skeleton_roof(base_params(L_SHAPE, texture_id=1, scale_x=3.0, scale_y=3.0), "hipped")
+        assert r is not None
+        assert tri_area_xy(r["position"]) == pytest.approx(256.0, rel=1e-6)
+
+    def test_hole_falls_back(self):
+        p = base_params(SQUARE, texture_id=1)
+        p["rings"] = [SQUARE, np.array([[4, 4], [4, 6], [6, 6], [6, 4], [4, 4]], float)]
+        p["ring_types"] = ["outer", "inner"]
+        assert skeleton_roof(p, "hipped") is None
+        # and the dispatch produces the flat fallback
+        r = roofs.build_roof({**p, "type": "hipped"})
+        pos = r["position"].reshape(-1, 3)
+        assert np.all(pos[:, 2] == 12.0)
+
+
+class TestWalls:
+    def test_quad_structure(self):
+        w = walls.build_walls(SQUARE, 0.0, 12.0, 3.0, 6.0, 13, 13)
+        pos = w["position"].reshape(-1, 3)
+        assert len(pos) % 3 == 0
+        assert pos[:, 2].min() == 0.0 and pos[:, 2].max() == 12.0
+        # every triangle is vertical: each has two distinct z values
+        t = pos.reshape(-1, 3, 3)
+        assert np.all(np.ptp(t[:, :, 2], axis=1) > 0)
+
+    def test_wall_lateral_area(self):
+        # integer window count + integer levels -> total lateral area is exact
+        w = walls.build_walls(SQUARE, 0.0, 12.0, 3.0, 5.0, 13, 13)
+        t = w["position"].reshape(-1, 3, 3)
+        area = float(np.linalg.norm(np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]), axis=1).sum() / 2)
+        assert area == pytest.approx(4 * 10 * 12.0)
+
+    def test_fractional_levels_overshoot_quirk(self):
+        # levels=2.5 -> 3 slices, top slice ends at h * 3/2.5 (reference quirk)
+        w = walls.build_walls(SQUARE, 0.0, 10.0, 2.5, 5.0, 13, 13)
+        pos = w["position"].reshape(-1, 3)
+        assert pos[:, 2].max() == pytest.approx(10.0 * (3 / 2.5))
+
+    def test_skirt_height_points(self):
+        pts = np.array([[0, 0], [10, 0]], float)
+        hts = np.array([12.0, 16.0])
+        w = walls.build_walls(pts, 12.0, 16.0, 1.0, 6.0, 13, 13, height_points=hts)
+        pos = w["position"].reshape(-1, 3)
+        assert pos[:, 2].min() == pytest.approx(12.0)
+        assert pos[:, 2].max() == pytest.approx(16.0)
+
+
+class TestMeshOps:
+    def test_flip_winding_involution(self):
+        pos = np.arange(18, dtype=float)
+        uv = np.arange(12, dtype=float)
+        p1, u1 = flip_triangle_winding(pos, uv)
+        p2, u2 = flip_triangle_winding(p1, u1)
+        assert np.array_equal(p2, pos) and np.array_equal(u2, uv)
+
+    def test_vertex_normals_unit(self):
+        pos = np.array([0, 0, 0, 1, 0, 0, 0, 1, 0], dtype=float)
+        n = compute_vertex_normals(pos).reshape(-1, 3)
+        assert np.allclose(np.linalg.norm(n, axis=1), 1.0)
+        # three.js cross(c-b, a-b) for (0,0),(1,0),(0,1) CCW triangle -> +z
+        assert np.allclose(n, [[0, 0, 1]] * 3)
+
+
+# ---------------------------------------------------------------------------
+# single-building assembly
+# ---------------------------------------------------------------------------
+
+
+class TestBuildSingleBuilding:
+    ROW = dict(
+        building_height=16.0, building_min_height=0.0, building_roof_height=4.0,
+        building_levels=4.0, building_roof_type="flat", building_roof_material="default",
+        building_roof_color=None, building_roof_direction=None,
+        building_roof_orientation=None, building_facade_material="brick",
+        building_facade_color=0x8C4834,
+    )
+
+    def test_flat_default_roof_texture_and_color(self):
+        rings = _normalize_rings([RECT.tolist()], ["outer"], 0.0, 0.0)
+        acc = build_single_building(dict(self.ROW), rings, ["outer"])
+        geo = acc.geometry()
+        tex = np.frombuffer(np.ascontiguousarray(geo["texture_id"]), dtype=np.uint8)
+        # default roof -> RoofGeneric3 (0); brick walls -> FacadeBrickWall (10)
+        assert set(np.unique(tex)) == {ExtrudedTextures.RoofGeneric3, ExtrudedTextures.FacadeBrickWall}
+        colors = geo["color"].reshape(-1, 3)
+        # roof 0xFF333333 wraps to (0x33,0x33,0x33); facade always white (quirk)
+        assert {tuple(c) for c in np.unique(colors, axis=0)} == {(51, 51, 51), (255, 255, 255)}
+
+    def test_roof_on_top_of_walls(self):
+        rings = _normalize_rings([RECT.tolist()], ["outer"], 0.0, 0.0)
+        acc = build_single_building(dict(self.ROW), rings, ["outer"])
+        geo = acc.geometry()
+        pos = geo["position"].reshape(-1, 3)
+        assert pos[:, 2].max() == pytest.approx(16.0 - 4.0)  # flat roof at h - roof_h
+        assert len(geo["terrain_mask"]) > 0  # min_height == 0 -> mask footprint
+
+    def test_winding_normalization(self):
+        ccw = RECT[::-1].tolist()
+        r1 = _normalize_rings([ccw], ["outer"], 0.0, 0.0)
+        r2 = _normalize_rings([RECT.tolist()], ["outer"], 0.0, 0.0)
+        assert np.array_equal(r1[0], r2[0])
