@@ -563,12 +563,28 @@ def build_roof(params: dict) -> dict:
             roof = curved_roof(params, SPLITS_DOME, False)
         elif rtype == "onion":
             roof = curved_roof(params, SPLITS_ONION, False)
+        elif rtype == "gambrel" and params.get("orientation") in ("along", "across"):
+            from .oriented_roofs import SPLITS_ORIENTED_GAMBREL, oriented_roof
+
+            roof = oriented_roof(params, SPLITS_ORIENTED_GAMBREL, False, False)
         elif rtype in ("hipped", "gabled", "gambrel", "mansard", "quadrupleSaltbox"):
             from .skeleton_roofs import skeleton_roof
 
             roof = skeleton_roof(params, rtype)
-        # round / saltbox -> oriented profile sweep (oriented-roof-builder.ts);
-        # not yet ported — falls back to flat like buildRoofSafe on null.
+        elif rtype == "round":
+            from .oriented_roofs import SPLITS_ORIENTED_ROUND, oriented_roof
+
+            p = dict(params)
+            if not p.get("orientation"):
+                p["orientation"] = "along"
+            roof = oriented_roof(p, SPLITS_ORIENTED_ROUND, True, False)
+        elif rtype == "saltbox":
+            from .oriented_roofs import SPLITS_ORIENTED_SALTBOX, oriented_roof
+
+            p = dict(params)
+            if p.get("direction") is None:
+                p["orientation"] = "along"
+            roof = oriented_roof(p, SPLITS_ORIENTED_SALTBOX, False, True)
     except Exception:
         roof = None
     if roof is None:

@@ -246,6 +246,59 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard pairs via an inverted index — pure relational
+    plan, no Python: explode distinct n-grams, equi-join on the gram (the
+    candidate generator — only docs sharing ≥1 gram ever meet), count the
+    intersection per pair, derive |union| = |A| + |B| - |I|, and filter with an
+    INTEGER cross-multiplication (inter·den ≥ union·num ⟺ J ≥ num/den) so the
+    predicate is fp-free and engine-identical.
+
+    Output: (a, b, inter, union_sz) with a < b and J ≥ threshold_num/threshold_den.
+
+    Scale: the gram join shuffles on the gram value; at web scale the standard
+    refinement is a document-frequency stop list on hot grams + prefix filtering
+    (only the rarest ⌈(1-t)|A|⌉+1 grams of each doc need to be indexed) — both
+    drop-in filters on the `grams` relation that do not change the exact result.
+    """
+    words = F.split(F.col(text_col), " ", -1)
+    # guard: Spark sequence(1, k) with k < 1 yields a DESCENDING sequence
+    grams_arr = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams_arr).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    a = grams.withColumnsRenamed({"id": "a"})
+    b = grams.withColumnsRenamed({"id": "b"})
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "a", "sz": "sa"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "sz": "sb"}), "b")
+        .withColumn("union_sz", F.col("sa") + F.col("sb") - F.col("inter"))
+        .filter(F.col("inter") * threshold_den >= F.col("union_sz") * threshold_num)
+        .select("a", "b", "inter", "union_sz")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -859,6 +859,41 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    # ---- exact n-gram Jaccard dedup (inverted index, pure relational) ---------
+    def ngram_jaccard(spark, sf_dir):
+        from ..operators.dedup import ngram_jaccard_exact
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return ngram_jaccard_exact(docs, n=3, threshold_num=3, threshold_den=5)
+
+    q["dedup_ngram_jaccard"] = (
+        ngram_jaccard,
+        """
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   unnest(generate_series(1, len(string_split(text, ' ')))) AS ord
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT w1.doc_id AS id, w1.w || ' ' || w2.w || ' ' || w3.w AS g
+            FROM w w1
+            JOIN w w2 ON w2.doc_id = w1.doc_id AND w2.ord = w1.ord + 1
+            JOIN w w3 ON w3.doc_id = w1.doc_id AND w3.ord = w1.ord + 2
+        ),
+        sizes AS (SELECT id, COUNT(*) AS sz FROM grams GROUP BY id),
+        inter AS (
+            SELECT ga.id AS a, gb.id AS b, COUNT(*) AS inter
+            FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.id < gb.id
+            GROUP BY ga.id, gb.id
+        )
+        SELECT i.a, i.b, i.inter, sa.sz + sb.sz - i.inter AS union_sz
+        FROM inter i
+        JOIN sizes sa ON sa.id = i.a
+        JOIN sizes sb ON sb.id = i.b
+        WHERE i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 3
+        """,
+    )
+
     # ---- 3D construction: per-building surface metrics through the REAL roof +
     # walls kernels (flat default path); the oracle states the closed-form areas
     # for axis-aligned rectangles ------------------------------------------------

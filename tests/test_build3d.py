@@ -231,6 +231,40 @@ class TestSkeletonRoofs:
         assert np.all(pos[:, 2] == 12.0)
 
 
+class TestOrientedRoofs:
+    @pytest.mark.parametrize("rtype,orientation", [
+        ("round", None), ("saltbox", None), ("gambrel", "along"),
+    ])
+    def test_area_heights_and_skirt(self, rtype, orientation):
+        p = base_params(RECT, texture_id=1, scale_x=3.0, scale_y=3.0)
+        p["type"] = rtype
+        p["orientation"] = orientation
+        r = roofs.build_roof(p)
+        pos = r["position"].reshape(-1, 3)
+        assert tri_area_xy(r["position"]) == pytest.approx(200.0, rel=1e-6)
+        assert pos[:, 2].min() == pytest.approx(12.0)
+        assert pos[:, 2].max() == pytest.approx(15.0)
+        assert r["add_skirt"] and len(r["skirt"]) == 1  # one ring -> one polyline
+
+    def test_round_profile_midpoint(self):
+        # the 19-pt semicircle peaks at x=0.5 -> ridge height at the OMBB middle
+        p = base_params(RECT, texture_id=1, scale_x=3.0, scale_y=3.0)
+        p["type"] = "round"
+        r = roofs.build_roof(p)
+        pos = r["position"].reshape(-1, 3)
+        mid = pos[np.abs(pos[:, 2] - 15.0) < 1e-9]
+        assert len(mid) > 0  # ridge vertices exist at full height
+
+    def test_skirt_includes_split_intersections(self):
+        p = base_params(RECT, texture_id=1, scale_x=3.0, scale_y=3.0)
+        p["type"] = "saltbox"
+        r = roofs.build_roof(p)
+        part = r["skirt"][0]
+        # saltbox has 1 interior split -> long edges get an inserted point
+        assert len(part["points"]) > len(RECT)
+        assert part["heights"].max() == pytest.approx(15.0)
+
+
 class TestWalls:
     def test_quad_structure(self):
         w = walls.build_walls(SQUARE, 0.0, 12.0, 3.0, 6.0, 13, 13)
