@@ -1,0 +1,123 @@
+"""Command-line entry points — the engine's equivalent of the reference CLI
+(/root/reference/main.ts:19-116: serve / generate-tileset / seed-b3dm), shaped
+for `spark-submit --py-files`.
+
+Usage (local):
+    python -m osm_data_3d_tiles_spark.cli generate-tileset --out /tmp/export
+    python -m osm_data_3d_tiles_spark.cli seed --out /tmp/export --sf 0.001
+    python -m osm_data_3d_tiles_spark.cli flagship --sf 0.001 --workdir /tmp/ckpt
+
+Usage (cluster):
+    scripts/package.sh                     # builds dist/osm_data_3d_tiles_spark.zip
+    spark-submit --py-files dist/osm_data_3d_tiles_spark.zip \
+        $(python -c 'import osm_data_3d_tiles_spark.cli as c; print(c.__file__)') \
+        seed --out s3a://bucket/export --sf 1.0
+
+The serve loop itself is out of engine scope (SURVEY.md §2.1); `seed` is the
+batch materialization the reference recommends for performance (readme.md:190-191),
+and sinks.serve_fixture serves the output for tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(
+        app_name=f"osm-3d-tiles-{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def cmd_generate_tileset(args) -> int:
+    """Tileset JSON tree only (generate-tileset.ts) — driver-side, no Spark job."""
+    from .plans.tileset import write_tileset
+    from .sources import fixtures as fx
+
+    extent = tuple(args.extent) if args.extent else fx.FIXTURE_EXTENT
+    path = write_tileset(args.out, extent, mode=args.mode)
+    print(json.dumps({"tileset": path, "mode": args.mode}))
+    return 0
+
+
+def cmd_seed(args) -> int:
+    """Materialize every owned tile as B3DM + tileset JSONs (seed-b3dm.ts, but
+    distributed: ownership window → per-tile build → foreachPartition write)."""
+    from pyspark.sql import functions as F
+
+    from .functions.params import with_building_params
+    from .operators.batch_table import batch_tables
+    from .operators.build3d import build_tiles_3d
+    from .operators.cells import building_cells
+    from .operators.ownership import owner_tiles
+    from .plans.tileset import write_tileset
+    from .sinks.b3dm import seed_tiles
+    from .sources import fixtures as fx
+
+    spark = _spark(args)
+    blds = fx.load_fixture(spark, "buildings", args.sf).filter(F.col("layer") == "buildings")
+    owners = owner_tiles(building_cells(blds)).select("osm_id", "tile_key")
+    assigned = blds.join(owners, "osm_id")
+    tiles = build_tiles_3d(with_building_params(assigned))
+    batch = batch_tables(assigned)
+    n = seed_tiles(tiles, batch, args.out)
+    write_tileset(args.out, fx.FIXTURE_EXTENT, mode=args.mode)
+    print(json.dumps({"tiles_written": n, "out": args.out}))
+    return 0
+
+
+def cmd_flagship(args) -> int:
+    """The flagship pages→join→ownership pipeline with snapshot checkpoints."""
+    from .plans.pipeline import run_with_checkpoints
+    from .sources import fixtures as fx
+
+    spark = _spark(args)
+    pages = fx.load_fixture(spark, "pages", args.sf)
+    buildings = fx.load_fixture(spark, "buildings", args.sf)
+    out = run_with_checkpoints(spark, pages, buildings, args.workdir)
+    print(json.dumps({
+        "join_rows": out["join_rows"].count(),
+        "owned_buildings": out["owners"].count(),
+        "tiles_with_docs": out["tile_doc_counts"].count(),
+        "workdir": args.workdir,
+    }))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="osm-data-3d-tiles-spark")
+    p.add_argument("--master", default=None, help="Spark master (default: env/local)")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate-tileset", help="write tileset.json + subtiles")
+    g.add_argument("--out", required=True)
+    g.add_argument("--mode", choices=("mercator", "ecef"), default="mercator")
+    g.add_argument("--extent", nargs=4, type=float, default=None,
+                   metavar=("MINX", "MINY", "MAXX", "MAXY"))
+    g.set_defaults(fn=cmd_generate_tileset)
+
+    s = sub.add_parser("seed", help="materialize all B3DM tiles (batch)")
+    s.add_argument("--out", required=True)
+    s.add_argument("--sf", type=float, default=0.001)
+    s.add_argument("--mode", choices=("mercator", "ecef"), default="mercator")
+    s.set_defaults(fn=cmd_seed)
+
+    f = sub.add_parser("flagship", help="pages→PIP-join→ownership with checkpoints")
+    f.add_argument("--sf", type=float, default=0.001)
+    f.add_argument("--workdir", required=True)
+    f.set_defaults(fn=cmd_flagship)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

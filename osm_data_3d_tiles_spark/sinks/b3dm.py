@@ -1,0 +1,185 @@
+"""B3DM binary sink — packs the engine's per-tile SoA buffers into Batched 3D
+Model tiles (the public 3D Tiles 1.0 format: 28-byte header + featureTable JSON +
+batchTable JSON + binary glTF payload).
+
+Reference path (/root/reference/src/b3dmGenerator.ts:162-256): three.js GLTF
+export → weld → Draco compress → `createB3dmTileDataFromGlb`. Our payload is an
+uncompressed glTF 2.0 binary built by direct struct packing (no 3D runtime
+needed): one mesh primitive with POSITION / NORMAL / TEXCOORD_0 / _BATCHID
+accessors — the same attribute set the reference exports
+(build3dBuilding.ts:102-108). Draco compression is deliberately omitted: it is a
+byte-level codec applied at the very end of the reference sink and changes no
+verified semantics (SURVEY.md §2.1 "we verify the *table*, not Draco bytes").
+
+The seed path (`seed_tiles`) is the Spark mapping of seed-b3dm.ts:14-65 — one
+batch job materializing every tile, executed with foreachPartition so tile bytes
+never collect on the driver. In the sandbox the sink writes a local directory; on
+a cluster the same code targets a mounted object store path.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import struct
+
+import numpy as np
+
+GLB_MAGIC = 0x46546C67  # 'glTF'
+JSON_CHUNK = 0x4E4F534A  # 'JSON'
+BIN_CHUNK = 0x004E4942  # 'BIN\0'
+
+
+def _pad(data: bytes, boundary: int, pad_byte: bytes) -> bytes:
+    rem = len(data) % boundary
+    if rem:
+        data += pad_byte * (boundary - rem)
+    return data
+
+
+def pack_glb(
+    position: np.ndarray,
+    normal: np.ndarray,
+    uv: np.ndarray,
+    batch_id: np.ndarray,
+) -> bytes:
+    """Non-indexed triangle mesh → glTF 2.0 binary (one buffer, 4 accessors)."""
+    pos = np.asarray(position, dtype=np.float32).reshape(-1, 3)
+    nrm = np.asarray(normal, dtype=np.float32).reshape(-1, 3)
+    tex = np.asarray(uv, dtype=np.float32).reshape(-1, 2)
+    bid = np.asarray(batch_id, dtype=np.float32).reshape(-1)
+    n = len(pos)
+
+    views = []
+    accessors = []
+    bin_parts: list[bytes] = []
+    offset = 0
+
+    def add(arr: np.ndarray, comp_type: int, acc_type: str, n_comp: int, with_minmax: bool):
+        nonlocal offset
+        raw = arr.astype(arr.dtype, copy=False).tobytes()
+        raw = _pad(raw, 4, b"\x00")
+        views.append({"buffer": 0, "byteOffset": offset, "byteLength": len(raw)})
+        acc = {
+            "bufferView": len(views) - 1,
+            "componentType": comp_type,
+            "count": n,
+            "type": acc_type,
+        }
+        if with_minmax:
+            a2 = arr.reshape(n, n_comp)
+            acc["min"] = [float(v) for v in a2.min(axis=0)]
+            acc["max"] = [float(v) for v in a2.max(axis=0)]
+        accessors.append(acc)
+        bin_parts.append(raw)
+        offset += len(raw)
+
+    add(pos, 5126, "VEC3", 3, True)  # FLOAT
+    add(nrm, 5126, "VEC3", 3, False)
+    add(tex, 5126, "VEC2", 2, False)
+    add(bid, 5126, "SCALAR", 1, False)
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "osm-data-3d-tiles-spark"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{
+            "primitives": [{
+                "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2, "_BATCHID": 3},
+                "mode": 4,
+            }]
+        }],
+        "buffers": [{"byteLength": offset}],
+        "bufferViews": views,
+        "accessors": accessors,
+    }
+    json_bytes = _pad(json.dumps(gltf, separators=(",", ":")).encode(), 4, b" ")
+    bin_bytes = _pad(b"".join(bin_parts), 4, b"\x00")
+    total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
+    out = struct.pack("<III", GLB_MAGIC, 2, total)
+    out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
+    out += struct.pack("<II", len(bin_bytes), BIN_CHUNK) + bin_bytes
+    return out
+
+
+def pack_b3dm(glb: bytes, feature_table: dict, batch_table: dict) -> bytes:
+    """3D Tiles B3DM: header(28) + FT JSON (8-byte space-padded) + BT JSON + glb."""
+    ft = _pad(json.dumps(feature_table, separators=(",", ":")).encode(), 8, b" ")
+    bt = _pad(json.dumps(batch_table, separators=(",", ":")).encode(), 8, b" ")
+    body = ft + bt + glb
+    header = struct.pack("<4sIIIIII", b"b3dm", 1, 28 + len(body), len(ft), 0, len(bt), 0)
+    return header + body
+
+
+def parse_b3dm(data: bytes) -> dict:
+    """Inverse of pack_b3dm — used by the fixture server tests."""
+    magic, version, total, ftj, ftb, btj, btb = struct.unpack("<4sIIIIII", data[:28])
+    assert magic == b"b3dm" and version == 1
+    p = 28
+    feature_table = json.loads(data[p: p + ftj]) if ftj else {}
+    p += ftj + ftb
+    batch_table = json.loads(data[p: p + btj]) if btj else {}
+    p += btj + btb
+    return {"feature_table": feature_table, "batch_table": batch_table,
+            "glb": data[p: 28 + total - 28], "byte_length": total}
+
+
+def _json_safe(v):
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return None if math.isnan(f) else f
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, np.ndarray):
+        return [_json_safe(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def b3dm_for_tile(geo_row: dict, batch_row: dict | None) -> bytes:
+    """One build_tiles_3d output row (+ its batch_tables row) → b3dm bytes.
+
+    featureTable = {BATCH_LENGTH}; batchTable = the pivoted per-building columns
+    (b3dmGenerator.ts:242-247 shape)."""
+    feature_table = {"BATCH_LENGTH": int(geo_row["batch_length"])}
+    batch_table = {}
+    if batch_row:
+        # geometry-buffer columns are payload, not batch-table attributes
+        skip = {"tile_key", "batch_length", "position", "normal", "uv", "batch_id",
+                "texture_id", "color", "bbox", "n_vertices", "osm_ids"}
+        for k, v in batch_row.items():
+            if k in skip or v is None:
+                continue
+            batch_table[k] = _json_safe(v)
+    glb = pack_glb(
+        np.asarray(geo_row["position"]), np.asarray(geo_row["normal"]),
+        np.asarray(geo_row["uv"]), np.asarray(geo_row["batch_id"]),
+    )
+    return pack_b3dm(glb, feature_table, batch_table)
+
+
+def seed_tiles(tiles_df, batch_df, out_dir: str) -> int:
+    """Materialize every tile as {out_dir}/b3dm/{z}_{x}_{y}.b3dm — the batch seed
+    path (seed-b3dm.ts), distributed: the join stays on tile_key partitioning and
+    each partition writes its own files (no driver collect of tile bytes).
+    Returns the number of tiles written."""
+    os.makedirs(os.path.join(out_dir, "b3dm"), exist_ok=True)
+    joined = tiles_df.join(batch_df.drop("batch_length"), "tile_key", "left")
+
+    def _write(rows):
+        for row in rows:
+            d = row.asDict(recursive=True)
+            data = b3dm_for_tile(d, d)
+            path = os.path.join(out_dir, "b3dm", f"{d['tile_key']}.b3dm")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+
+    joined.foreachPartition(_write)
+    return len([f for f in os.listdir(os.path.join(out_dir, "b3dm")) if f.endswith(".b3dm")])

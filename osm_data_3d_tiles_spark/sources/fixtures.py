@@ -62,7 +62,13 @@ def cache_dir() -> str:
         "SPARK_GRAFT_FIXTURE_DIR",
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache", "fixtures"),
     )
-    os.makedirs(d, exist_ok=True)
+    try:
+        os.makedirs(d, exist_ok=True)
+    except (OSError, NotADirectoryError):
+        # package imported from a --py-files zip: the repo-relative path is
+        # inside the archive — fall back to a per-user cache dir
+        d = os.path.join(os.path.expanduser("~"), ".cache", "osm-3d-tiles-spark-fixtures")
+        os.makedirs(d, exist_ok=True)
     return d
 
 

@@ -1,0 +1,132 @@
+"""B3DM sink + tile-server fixture tests (SURVEY.md §5.6): glb/b3dm byte layout,
+seed materialization over fixture buildings, and the reference server's
+400/404/200 routing semantics against the seeded directory."""
+
+from __future__ import annotations
+
+import http.client
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_data_3d_tiles_spark.functions.params import with_building_params
+from osm_data_3d_tiles_spark.operators.batch_table import batch_tables
+from osm_data_3d_tiles_spark.operators.build3d import build_tiles_3d
+from osm_data_3d_tiles_spark.operators.cells import building_cells
+from osm_data_3d_tiles_spark.operators.ownership import owner_tiles
+from osm_data_3d_tiles_spark.plans.tileset import write_tileset
+from osm_data_3d_tiles_spark.sinks.b3dm import (
+    pack_b3dm,
+    pack_glb,
+    parse_b3dm,
+    seed_tiles,
+)
+from osm_data_3d_tiles_spark.sinks.serve_fixture import TileServerFixture
+from osm_data_3d_tiles_spark.sources import fixtures as fx
+
+
+class TestGlbPacking:
+    def test_glb_structure(self):
+        pos = np.array([0, 0, 0, 1, 0, 0, 0, 1, 0], dtype=np.float32)
+        nrm = np.tile([0, 0, 1], 3).astype(np.float32)
+        uv = np.zeros(6, dtype=np.float32)
+        bid = np.zeros(3, dtype=np.float32)
+        glb = pack_glb(pos, nrm, uv, bid)
+        magic, version, total = struct.unpack("<III", glb[:12])
+        assert magic == 0x46546C67 and version == 2 and total == len(glb)
+        jlen, jtype = struct.unpack("<II", glb[12:20])
+        gltf = json.loads(glb[20: 20 + jlen])
+        assert gltf["meshes"][0]["primitives"][0]["attributes"] == {
+            "POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2, "_BATCHID": 3,
+        }
+        assert gltf["accessors"][0]["min"] == [0.0, 0.0, 0.0]
+        assert gltf["accessors"][0]["max"] == [1.0, 1.0, 0.0]
+        # BIN chunk round-trips the positions
+        boff = 20 + jlen
+        blen, btype = struct.unpack("<II", glb[boff: boff + 8])
+        assert btype == 0x004E4942
+        view0 = gltf["bufferViews"][0]
+        raw = glb[boff + 8 + view0["byteOffset"]:][: view0["byteLength"]]
+        assert np.array_equal(np.frombuffer(raw[:36], dtype=np.float32), pos)
+
+    def test_b3dm_roundtrip(self):
+        glb = pack_glb(
+            np.zeros(9, np.float32), np.zeros(9, np.float32),
+            np.zeros(6, np.float32), np.zeros(3, np.float32),
+        )
+        data = pack_b3dm(glb, {"BATCH_LENGTH": 3}, {"building_height": [1, 2, 3]})
+        out = parse_b3dm(data)
+        assert out["feature_table"] == {"BATCH_LENGTH": 3}
+        assert out["batch_table"] == {"building_height": [1, 2, 3]}
+        assert out["glb"].startswith(b"glTF")
+        # 8-byte alignment of both JSON blocks (3D Tiles spec requirement)
+        assert struct.unpack("<I", data[12:16])[0] % 8 == 0
+
+
+@pytest.fixture(scope="module")
+def seeded_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("export"))
+    blds = fx.load_fixture(spark, "buildings", 0.001).filter(F.col("layer") == "buildings")
+    owners = owner_tiles(building_cells(blds)).select("osm_id", "tile_key")
+    assigned = blds.join(owners, "osm_id")
+    tiles = build_tiles_3d(with_building_params(assigned))
+    batch = batch_tables(assigned)
+    n = seed_tiles(tiles, batch, out)
+    assert n > 0
+    write_tileset(out, fx.FIXTURE_EXTENT, mode="mercator")
+    return out
+
+
+class TestSeedPath:
+    def test_tiles_parse_and_match_batch_length(self, seeded_dir):
+        files = sorted(os.listdir(os.path.join(seeded_dir, "b3dm")))
+        assert files
+        for fn in files[:5]:
+            with open(os.path.join(seeded_dir, "b3dm", fn), "rb") as f:
+                out = parse_b3dm(f.read())
+            bl = out["feature_table"]["BATCH_LENGTH"]
+            assert bl >= 1
+            bt = out["batch_table"]
+            assert "building_height" in bt and len(bt["building_height"]) == bl
+            assert "box_center" in bt and len(bt["box_center"]) == bl
+            # boxCenter z pinned to 10 (b3dmGenerator.ts:244-246)
+            assert all(c[2] == 10.0 for c in bt["box_center"])
+
+    def test_tileset_json_written(self, seeded_dir):
+        with open(os.path.join(seeded_dir, "tileset.json")) as f:
+            root = json.load(f)
+        assert root["root"]["geometricError"] == 512
+        assert root["root"]["refine"] == "ADD"
+
+
+class TestTileServerFixture:
+    def test_status_semantics(self, seeded_dir):
+        some_tile = sorted(os.listdir(os.path.join(seeded_dir, "b3dm")))[0]
+        with TileServerFixture(seeded_dir) as srv:
+            def get(path):
+                conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+                conn.request("GET", path)
+                r = conn.getresponse()
+                body = r.read()
+                conn.close()
+                return r.status, body
+
+            # 400: wrong extension / wrong coord arity (serve.ts:37-66)
+            assert get("/hello.txt")[0] == 400
+            assert get("/1_2.b3dm")[0] == 400
+            assert get("/1_2_3_4.b3dm")[0] == 400
+            # 404: missing json + missing tile
+            st, body = get("/nope.json")
+            assert st == 404 and json.loads(body) == {"error": "File not found"}
+            assert get("/99_0_0.b3dm")[0] == 404
+            # 200: real tile bytes parse as b3dm; subtiles/ prefix stripped
+            st, body = get(f"/{some_tile}")
+            assert st == 200 and parse_b3dm(body)["feature_table"]["BATCH_LENGTH"] >= 1
+            assert get(f"/subtiles/{some_tile}")[0] == 200
+            # 200: tileset.json served as JSON
+            st, body = get("/tileset.json")
+            assert st == 200 and json.loads(body)["root"]["refine"] == "ADD"
