@@ -72,7 +72,9 @@ def with_box_center(buildings: DataFrame) -> DataFrame:
             pdf["box_center"] = centers
             yield pdf
 
-    return buildings.mapInPandas(_add, schema=schema)
+    from ..session import with_min_parallelism
+
+    return with_min_parallelism(buildings).mapInPandas(_add, schema=schema)
 
 
 def _pivot(col: str) -> F.Column:

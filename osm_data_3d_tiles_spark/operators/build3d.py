@@ -285,6 +285,51 @@ def _build_tile_group(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+LABEL_SCHEMA = T.StructType([
+    T.StructField("osm_id", T.LongType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("x", T.DoubleType()),
+    T.StructField("height", T.DoubleType()),
+    T.StructField("y", T.DoubleType()),
+    T.StructField("priority", T.DoubleType()),
+])
+
+
+def building_labels(buildings_with_params: DataFrame) -> DataFrame:
+    """Label features at the pole of inaccessibility, +5 m above the roof,
+    priority = pole distance (builder.ts:174-185: position [pole.x, height+5,
+    pole.y], priority pole.z). One narrow Arrow stage over labeled rows only."""
+    from ..functions.roofs import pole_of_inaccessibility
+
+    src = buildings_with_params.filter(F.col("label").isNotNull()).select(
+        "osm_id", "label", "geometry", "ring_types", "building_height"
+    )
+
+    def _poles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, labels, xs, hs, ys, prio = [], [], [], [], [], []
+            for row in pdf.itertuples():
+                outers = [
+                    np.asarray([[float(p[0]), float(p[1])] for p in ring])
+                    for ring, t in zip(row.geometry, row.ring_types) if t == "outer"
+                ]
+                if not outers:
+                    continue
+                px, py, dist = pole_of_inaccessibility(outers[0], 1.0)
+                ids.append(row.osm_id)
+                labels.append(row.label)
+                xs.append(px)
+                hs.append(float(row.building_height or 0.0) + 5.0)
+                ys.append(py)
+                prio.append(dist)
+            yield pd.DataFrame({
+                "osm_id": ids, "label": labels, "x": xs, "height": hs,
+                "y": ys, "priority": prio,
+            })
+
+    return src.mapInPandas(_poles, schema=LABEL_SCHEMA)
+
+
 def build_tiles_3d(buildings_with_tile: DataFrame) -> DataFrame:
     """buildings (geometry + derived params + owner tile_key/tile_x/tile_y) →
     one row per tile with merged SoA geometry buffers.

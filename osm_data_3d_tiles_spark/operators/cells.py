@@ -69,10 +69,80 @@ def building_cells(buildings: DataFrame, z: int = m.Z_LEAF) -> DataFrame:
                     ys.append(cy)
             yield pd.DataFrame({"osm_id": ids, "tile_x": xs, "tile_y": ys})
 
-    return buildings.select("osm_id", "geometry", "ring_types").mapInPandas(
+    from ..session import with_min_parallelism
+
+    return with_min_parallelism(buildings.select("osm_id", "geometry", "ring_types")).mapInPandas(
         _explode, schema=CELLS_SCHEMA
     )
 
 
+MULTI_CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("osm_id", T.LongType()),
+        T.StructField("z", T.IntegerType()),
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+    ]
+)
+
+
+def building_cells_multi(buildings: DataFrame, zs: tuple[int, ...]) -> DataFrame:
+    """Covering cells at SEVERAL zoom levels in one Python pass over the
+    geometry — one job instead of one per level (the flagship needs z16 for
+    tile ownership and z20 for the join prefilter; scanning + triangulating the
+    footprints once halves the dimension-build latency)."""
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            zz: list[int] = []
+            xs: list[int] = []
+            ys: list[int] = []
+            for osm_id, rings, rtypes in zip(pdf["osm_id"], pdf["geometry"], pdf["ring_types"]):
+                for z in zs:
+                    for cx, cy in sorted(covered_cells_for_building(rings, rtypes, z)):
+                        ids.append(osm_id)
+                        zz.append(z)
+                        xs.append(cx)
+                        ys.append(cy)
+            yield pd.DataFrame({"osm_id": ids, "z": zz, "tile_x": xs, "tile_y": ys})
+
+    from ..session import with_min_parallelism
+
+    return with_min_parallelism(
+        buildings.select("osm_id", "geometry", "ring_types")
+    ).mapInPandas(_explode, schema=MULTI_CELLS_SCHEMA)
+
+
 def with_cell_id(df: DataFrame, z: int = m.Z_LEAF) -> DataFrame:
     return df.withColumn("cell", m.cell_id_col(F.col("tile_x"), F.col("tile_y"), z))
+
+
+def extent_predicate(
+    extent: tuple[float, float, float, float],
+    z: int = m.Z_LEAF,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> F.Column:
+    """Project-extent scan predicate (the reference's env-config scan grid,
+    config.ts:4-36 → SURVEY.md §2.1 'extent → cell-range partition pruning').
+
+    A pure min/max comparison on the point columns — Catalyst pushes it into the
+    parquet scan (`PushedFilters`), and on a cell-partitioned table the derived
+    cell range prunes partitions. Apply with `df.filter(extent_predicate(ext))`.
+    """
+    min_x, min_y, max_x, max_y = extent
+    # snap the extent to whole cells so the predicate is exactly the covered
+    # cell range (matches forEachTileCoord's inclusive grid, generate-tileset.ts)
+    min_tx, min_ty, max_tx, max_ty = m.tile_range_for_extent(extent, z)
+    span = m.tile_span(z)
+    cell_min_x = -m.HALF_SIZE + min_tx * span
+    cell_max_x = -m.HALF_SIZE + (max_tx + 1) * span
+    cell_max_y = m.HALF_SIZE - min_ty * span
+    cell_min_y = m.HALF_SIZE - (max_ty + 1) * span
+    return (
+        (F.col(x_col) >= cell_min_x)
+        & (F.col(x_col) < cell_max_x)
+        & (F.col(y_col) >= cell_min_y)
+        & (F.col(y_col) < cell_max_y)
+    )

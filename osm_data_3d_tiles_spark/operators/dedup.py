@@ -74,7 +74,9 @@ def minhash_signatures(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
 
-    return docs.select(id_col, text_col).mapInPandas(_sig, schema=schema)
+    from ..session import with_min_parallelism
+
+    return with_min_parallelism(docs.select(id_col, text_col)).mapInPandas(_sig, schema=schema)
 
 
 def minhash_lsh_pairs(
@@ -165,7 +167,9 @@ def simhash_pairs(
                 {id_col: pdf[id_col], "simhash": [tx.simhash(t) for t in pdf[text_col]]}
             )
 
-    sims = docs.select(id_col, text_col).mapInPandas(_sim, schema=schema)
+    from ..session import with_min_parallelism
+
+    sims = with_min_parallelism(docs.select(id_col, text_col)).mapInPandas(_sim, schema=schema)
 
     chunks = sims.select(
         id_col,
@@ -340,7 +344,9 @@ def embedding_neardup_pairs(
                 {id_col: pdf[id_col], "bucket": bucket, "unit": [u.tolist() for u in unit]}
             )
 
-    bucketed = embeddings.select(id_col, vec_col).mapInPandas(_bucket, schema=schema)
+    from ..session import with_min_parallelism
+
+    bucketed = with_min_parallelism(embeddings.select(id_col, vec_col)).mapInPandas(_bucket, schema=schema)
     left = bucketed.select(F.col(id_col).alias("a"), F.col("unit").alias("ua"), "bucket")
     right = bucketed.select(F.col(id_col).alias("b"), F.col("unit").alias("ub"), "bucket")
     cand = left.join(right, "bucket").filter(F.col("a") < F.col("b"))

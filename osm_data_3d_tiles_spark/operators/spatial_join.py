@@ -43,12 +43,15 @@ def pages_with_cell(pages_pts: DataFrame, z: int = m.Z_LEAF) -> DataFrame:
     )
 
 
-def _pip_refine_factory(point_cols: tuple[str, str], out_fields: list[T.StructField]):
+def _pip_refine_factory(
+    point_cols: tuple[str, str], out_fields: list[T.StructField], geom_bc
+):
     schema = T.StructType(out_fields)
     names = [f.name for f in out_fields]
     px_col, py_col = point_cols
 
     def _refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geoms = geom_bc.value  # {osm_id: [rings ndarray, ...]} — once per worker
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -57,12 +60,10 @@ def _pip_refine_factory(point_cols: tuple[str, str], out_fields: list[T.StructFi
                 [pdf[px_col].to_numpy(dtype=np.float64), pdf[py_col].to_numpy(dtype=np.float64)]
             )
             # group candidate rows by building: one vectorized PIP per building
-            for _, idx in pdf.groupby("osm_id", sort=False).indices.items():
-                rings_raw = pdf["geometry"].iloc[idx[0]]
-                rings = [
-                    np.asarray([[float(p[0]), float(p[1])] for p in ring], dtype=np.float64)
-                    for ring in rings_raw
-                ]
+            for osm_id, idx in pdf.groupby("osm_id", sort=False).indices.items():
+                rings = geoms.get(osm_id)
+                if rings is None:
+                    continue
                 keep[idx] = g.points_in_polygon(pts[idx], rings)
             yield pdf.loc[keep, names]
 
@@ -72,25 +73,58 @@ def _pip_refine_factory(point_cols: tuple[str, str], out_fields: list[T.StructFi
 def spatial_join(
     pages_pts: DataFrame,
     buildings: DataFrame,
-    z: int = m.Z_LEAF,
+    z: int = 20,
     page_cols: tuple[str, ...] = ("url",),
     building_cols: tuple[str, ...] = ("osm_id",),
+    precomputed_cells: DataFrame | None = None,
 ) -> DataFrame:
     """pages_pts(url, x, y, …) ⋈ buildings(osm_id, geometry, ring_types, …) →
     one row per (page, containing building). Exact ray-cast semantics after the
-    broadcast cell prefilter."""
-    cells = with_cell_id(building_cells(buildings, z), z).select("osm_id", "cell")
-    build_side = cells.join(
-        buildings.select("osm_id", "geometry", "ring_types", *[c for c in building_cols if c != "osm_id"]),
-        "osm_id",
+    broadcast cell prefilter.
+
+    Prefilter granularity: z=20 cells (~38 m) — building-sized, so the candidate
+    set stays within a small factor of the true matches. The z16 tile grid the
+    reference rides (611 m) is the *tile-assignment* unit, not a selective PIP
+    prefilter: at z16 a dense-city cell holds hundreds of buildings and the
+    candidate blow-up was measured at ~560× the final rows (9.6 M candidates for
+    17 k matches on the sf0.1 fixture). The refine is exact, so z only trades
+    prefilter selectivity against covering-cell count — results are identical.
+
+    Geometry never rides the join: the equi-join carries only (cell, osm_id) on
+    the broadcast side, and ring coordinates reach the refine workers once per
+    executor as a Spark broadcast variable. Attaching the nested geometry arrays
+    as a join column duplicates them onto every candidate row and melts the
+    Arrow transfer + JVM heap exactly where candidates are densest (hot cells)."""
+    spark = buildings.sparkSession
+    base_cells = (
+        precomputed_cells if precomputed_cells is not None else building_cells(buildings, z)
+    )
+    cells = with_cell_id(base_cells, z).select("osm_id", "cell")
+    extra = [c for c in building_cols if c != "osm_id"]
+    build_side = (
+        cells.join(buildings.select("osm_id", *extra), "osm_id") if extra else cells
     )
 
-    probe = pages_with_cell(pages_pts, z)
+    # geometry dimension → one broadcast dict of numpy rings (the same per-extent
+    # dimension table the cell prefilter broadcasts; geometry bytes ≪ candidates)
+    geom_rows = buildings.select("osm_id", "geometry").collect()
+    geoms = {
+        row["osm_id"]: [
+            np.asarray([[float(p[0]), float(p[1])] for p in ring], dtype=np.float64)
+            for ring in row["geometry"]
+        ]
+        for row in geom_rows
+    }
+    geom_bc = spark.sparkContext.broadcast(geoms)
+
+    from ..session import with_min_parallelism
+
+    probe = pages_with_cell(with_min_parallelism(pages_pts), z)
     cand = probe.join(F.broadcast(build_side), "cell")
 
     out_fields = [cand.schema[c] for c in page_cols] + [cand.schema[c] for c in building_cols]
-    refine, schema = _pip_refine_factory(("x", "y"), out_fields)
-    needed = list(dict.fromkeys(list(page_cols) + list(building_cols) + ["x", "y", "osm_id", "geometry"]))
+    refine, schema = _pip_refine_factory(("x", "y"), out_fields, geom_bc)
+    needed = list(dict.fromkeys(list(page_cols) + list(building_cols) + ["x", "y", "osm_id"]))
     return cand.select(*needed).mapInPandas(refine, schema=schema)
 
 

@@ -50,19 +50,28 @@ def quality_udf(text: pd.Series) -> pd.DataFrame:
 
 
 def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.withColumn("predicted_lang", lang_id_udf(F.col(text_col)))
+    from ..session import with_min_parallelism
+
+    return with_min_parallelism(docs).withColumn("predicted_lang", lang_id_udf(F.col(text_col)))
 
 
 def with_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.withColumn("n_tokens", token_count_udf(F.col(text_col)))
+    from ..session import with_min_parallelism
+
+    return with_min_parallelism(docs).withColumn("n_tokens", token_count_udf(F.col(text_col)))
 
 
 def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    from ..session import with_min_parallelism
+
+    docs = with_min_parallelism(docs)
     return docs.withColumn("q", quality_udf(F.col(text_col))).select("*", "q.*").drop("q")
 
 
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
+    from ..session import with_min_parallelism
+
+    return with_min_parallelism(docs).withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
 
 
 def quality_filter(

@@ -859,6 +859,48 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    # ---- heat-map LOD thinning (deterministic per-cell sampling) --------------
+    def lod_thin(spark, sf_dir):
+        from ..operators.lod import TILE_SIZE, lod_thinning
+
+        pts = doc_points(spark, sf_dir)
+        inst = pts.select(
+            F.col("doc_id").alias("instance_id"),
+            ((F.col("x") + F.lit(HALF)) % F.lit(TILE_SIZE)).alias("local_x"),
+            ((F.col("y") + F.lit(HALF)) % F.lit(TILE_SIZE)).alias("local_y"),
+        )
+        return lod_thinning(inst, fraction=0.25).select(
+            "instance_id", "heat_cell"
+        )
+
+    _ts = m.tile_span(16)
+    q["lod_thinning"] = (
+        lod_thin,
+        f"""
+        WITH pts AS ({DOC_POINTS_SQL}),
+        inst AS (
+            SELECT doc_id AS instance_id,
+                   (x + {HALF!r}) % {_ts!r} AS local_x,
+                   (y + {HALF!r}) % {_ts!r} AS local_y
+            FROM pts
+        ),
+        cells AS (
+            SELECT instance_id,
+                   FLOOR(local_x / {_ts!r} * 12) + FLOOR(local_y / {_ts!r} * 12) * 12 AS heat_cell
+            FROM inst
+        ),
+        ranked AS (
+            SELECT instance_id, heat_cell,
+                   row_number() OVER (PARTITION BY heat_cell ORDER BY instance_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY heat_cell) AS n
+            FROM cells
+        )
+        SELECT instance_id, heat_cell
+        FROM ranked
+        WHERE rn <= GREATEST(FLOOR(n * 0.25 + 0.5), 1)
+        """,
+    )
+
     # ---- exact n-gram Jaccard dedup (inverted index, pure relational) ---------
     def ngram_jaccard(spark, sf_dir):
         from ..operators.dedup import ngram_jaccard_exact
@@ -1052,6 +1094,16 @@ def build_rows_only_queries() -> dict:
         )
 
     q["build3d_tiles"] = build3d_tiles
+
+    def labels(spark, sf_dir):
+        from ..functions.params import with_building_params
+        from ..operators.build3d import building_labels
+
+        sf = min(_sf_of(sf_dir), 0.01)
+        blds = fx.load_fixture(spark, "buildings", sf).filter(F.col("layer") == "buildings")
+        return building_labels(with_building_params(blds))
+
+    q["building_labels"] = labels
 
     return q
 

@@ -70,9 +70,10 @@ def extract_pages(pages: DataFrame) -> DataFrame:
                 }
             )
 
-    return pages.select("url", "warc_ts", "lang", "html").mapInPandas(
-        _extract, schema=EXTRACT_SCHEMA
-    )
+    from ..session import with_min_parallelism
+
+    narrow = with_min_parallelism(pages.select("url", "warc_ts", "lang", "html"))
+    return narrow.mapInPandas(_extract, schema=EXTRACT_SCHEMA)
 
 
 def geotagged_points(pages: DataFrame) -> DataFrame:
@@ -139,14 +140,28 @@ def flagship(
     """Full pipeline. Returns the named stage outputs:
     join_rows(url, osm_id), tile_assignment(osm_id, tile_key),
     tile_doc_counts(tile_key, docs), batch(batch tables per owner tile)."""
+    from ..operators.cells import building_cells_multi
+
     blds = buildings.filter(F.col("layer") == "buildings")
-    cells = building_cells(blds)
+    # one geometry pass covers both zoom levels: z16 drives tile ownership,
+    # z20 drives the join prefilter
+    multi = building_cells_multi(blds, (m.Z_LEAF, 20)).persist()
+    cells = multi.filter(F.col("z") == m.Z_LEAF).select("osm_id", "tile_x", "tile_y")
+    join_cells = multi.filter(F.col("z") == 20).select("osm_id", "tile_x", "tile_y")
     owners = owner_tiles(cells)
 
-    join_rows = flagship_join(pages, buildings)
+    pts = geotagged_points(pages).select("url", "x", "y")
+    join_rows = spatial_join(
+        pts, blds, z=20, page_cols=("url",), building_cols=("osm_id",),
+        precomputed_cells=join_cells,
+    )
     assignment = owners.select("osm_id", "tile_key")
+    # assignment is one row per building (bounded dimension) — broadcast so the
+    # page-scale join_rows side never shuffles
     tile_doc_counts = (
-        join_rows.join(assignment, "osm_id").groupBy("tile_key").agg(F.count("*").alias("docs"))
+        join_rows.join(F.broadcast(assignment), "osm_id")
+        .groupBy("tile_key")
+        .agg(F.count("*").alias("docs"))
     )
     batch = batch_tables(blds.join(assignment, "osm_id"))
     return {

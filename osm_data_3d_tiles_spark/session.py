@@ -46,3 +46,46 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def with_min_parallelism(df, factor: int = 1):
+    """Ensure a scan-rooted DataFrame has at least defaultParallelism×factor
+    partitions before a CPU-bound Arrow/Python stage.
+
+    Single parquet files below spark.sql.files.maxPartitionBytes arrive as ONE
+    input split, which serializes every downstream pandas UDF — the dominant
+    local-bench bottleneck. The check must NOT execute the plan: calling
+    `df.rdd.getNumPartitions()` here forces AQE to materialize every upstream
+    query stage serially (measured as a 10× slowdown of the composed flagship
+    plan). Instead the guard looks at the leaf scan's file list — a pure
+    metadata call. Derived frames (no file scan underneath, or many files)
+    pass through untouched: their parallelism is whatever the upstream stage
+    established. On a real cluster reading thousands of files this is always a
+    no-op; locally it round-robins narrow columns once and unlocks all cores."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    # estimate the scan's split count from file sizes: Spark splits parquet by
+    # byte ranges of maxPartitionBytes (row groups permitting), so a single
+    # 60 MB file at 4 MB splits already fans out to ~15 tasks — repartitioning
+    # it would shuffle the full payload (measured: a 449 MB html exchange that
+    # dominated the flagship) for nothing
+    import os as _os
+
+    mpb = int(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    total = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            total += _os.path.getsize(path)
+        except OSError:
+            return df  # non-local store: trust the scan's own split planning
+    est_splits = max(len(files), total // max(mpb, 1))
+    if est_splits < min(target, 8):
+        return df.repartition(target)
+    return df

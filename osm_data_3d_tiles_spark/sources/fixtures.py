@@ -320,7 +320,13 @@ def ensure_fixture(name: str, sf: float = 0.001) -> str:
     tmp = path + f".tmp{os.getpid()}"
     table = pa.Table.from_pandas(df, preserve_index=False)
     # Spark rejects TIMESTAMP(NANOS) parquet — write microsecond timestamps.
-    pq.write_table(table, tmp, coerce_timestamps="us", allow_truncated_timestamps=True)
+    # Small row groups keep the single fixture file SPLITTABLE: Spark assigns
+    # file byte-ranges per task and a task only reads row groups whose midpoint
+    # falls in its range — one giant row group would serialize every scan.
+    pq.write_table(
+        table, tmp, coerce_timestamps="us", allow_truncated_timestamps=True,
+        row_group_size=4096,
+    )
     os.replace(tmp, path)
     return path
 

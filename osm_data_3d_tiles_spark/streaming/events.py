@@ -64,3 +64,51 @@ def stream_pages_from_dir(spark, path: str, schema) -> DataFrame:
     """readStream over a directory of page parquet drops (the ingest pattern for a
     continuously-crawled corpus); combine with plans.pipeline.extract_pages."""
     return spark.readStream.schema(schema).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: streaming first-claimer ownership
+# ---------------------------------------------------------------------------
+
+OWNERSHIP_STATE_SCHEMA = "tile_order string"
+OWNERSHIP_OUT_SCHEMA = "osm_id long, tile_key string, changed boolean"
+
+
+def _ownership_fn(key, pdf_iter, state):
+    """Keeps the minimum tile-order claim per osm_id across micro-batches — the
+    incremental form of the ownership window (operators/ownership.py), i.e. the
+    reference's SQLite `INSERT OR IGNORE` claim table
+    (unique-tile-per-building.ts:29-39) as managed streaming state."""
+    import pandas as pd
+
+    best = state.get[0] if state.exists else None
+    changed = False
+    for pdf in pdf_iter:
+        for tk in pdf["tile_key"]:
+            if best is None or tk < best:
+                best = tk
+                changed = True
+    if best is not None:
+        state.update((best,))
+    yield pd.DataFrame({
+        "osm_id": [key[0]], "tile_key": [best], "changed": [changed],
+    })
+
+
+def streaming_ownership(claims: DataFrame) -> DataFrame:
+    """Stateful first-claimer tile ownership over a stream of (osm_id, tile_key)
+    claim events via applyInPandasWithState.
+
+    The batch ownership window needs every claim before deciding; this operator
+    decides incrementally with per-key state, emitting the current owner after
+    each micro-batch (`changed` marks ownership transfers). Order key = the
+    zero-padded tile_key string (same seed-order semantics as SURVEY.md §3.3)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return claims.groupBy("osm_id").applyInPandasWithState(
+        _ownership_fn,
+        outputStructType=OWNERSHIP_OUT_SCHEMA,
+        stateStructType=OWNERSHIP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,105 @@
+"""Structured Streaming tests: file-source micro-batches through the stateful
+first-claimer ownership operator (state persists across batches), plus the
+watermarked tumbling/session shapes on a real stream."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+
+def _write_batch(path: str, n: int, rows: list[tuple[int, str]]):
+    pd.DataFrame(rows, columns=["osm_id", "tile_key"]).to_parquet(
+        os.path.join(path, f"batch{n}.parquet")
+    )
+
+
+@pytest.mark.usefixtures("spark")
+class TestStreamingOwnership:
+    def test_state_across_microbatches(self, spark, tmp_path):
+        from osm_data_3d_tiles_spark.streaming.events import streaming_ownership
+
+        src_dir = str(tmp_path / "claims")
+        os.makedirs(src_dir)
+        # batch 1: building 1 claimed by tile B, building 2 by tile C
+        _write_batch(src_dir, 1, [(1, "16_00200_00100"), (2, "16_00300_00100")])
+
+        stream = (
+            spark.readStream.schema("osm_id long, tile_key string").parquet(src_dir)
+        )
+        out = streaming_ownership(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ownership_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            r1 = {r.osm_id: r.tile_key for r in spark.sql("select * from ownership_test").collect()}
+            assert r1 == {1: "16_00200_00100", 2: "16_00300_00100"}
+
+            # batch 2: earlier-order claim for building 1 (wins), later claim for 2 (ignored)
+            _write_batch(src_dir, 2, [(1, "16_00100_00100"), (2, "16_00900_00900")])
+            q.processAllAvailable()
+            rows = spark.sql("select * from ownership_test").collect()
+            latest = {}
+            for r in rows:  # memory sink appends updates; last write wins
+                latest[r.osm_id] = (r.tile_key, r.changed)
+            assert latest[1] == ("16_00100_00100", True)  # ownership transferred
+            assert latest[2] == ("16_00300_00100", False)  # first claim kept
+        finally:
+            q.stop()
+
+    def test_tumbling_counts_streaming(self, spark, tmp_path):
+        from osm_data_3d_tiles_spark.streaming.events import tumbling_counts
+
+        src_dir = str(tmp_path / "events")
+        os.makedirs(src_dir)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def write_events(fname, rows):
+            df = pd.DataFrame(rows)
+            # Spark cannot read TIMESTAMP(NANOS) — write microsecond timestamps
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False),
+                os.path.join(src_dir, fname),
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
+
+        ts = pd.Timestamp("2024-01-01 00:01:00")
+        write_events("b1.parquet", {
+            "ts": [ts, ts + pd.Timedelta(minutes=1), ts + pd.Timedelta(minutes=7)],
+            "event_type": ["a", "a", "a"],
+            "value": [1.0, 2.0, 3.0],
+        })
+
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(src_dir)
+        out = tumbling_counts(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tumbling_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # append mode only emits closed windows — push the watermark forward
+            write_events("b2.parquet", {
+                "ts": [ts + pd.Timedelta(hours=1)],
+                "event_type": ["a"], "value": [0.0],
+            })
+            q.processAllAvailable()
+            rows = spark.sql("select * from tumbling_test order by window_start").collect()
+            assert len(rows) >= 2
+            assert rows[0].n == 2 and rows[0].value_sum == 3.0  # first 5-min window
+        finally:
+            q.stop()
