@@ -31,7 +31,7 @@ import numpy as np
 from . import geometry as g
 from .atlas import atlas_transform_for_texture
 from .mesh import (
-    NX, NY, NZ, PX, PY, PZ, U, V,
+    NX, NY, NZ, PX, PY, PZ,
     calculate_normal,
     calculate_splits_normals,
     make_verts,

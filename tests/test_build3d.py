@@ -265,6 +265,19 @@ class TestOrientedRoofs:
         assert part["heights"].max() == pytest.approx(15.0)
 
 
+class TestFindCentralEdge:
+    def test_rect_central_edge_is_long_side(self):
+        from osm_data_3d_tiles_spark.functions.skeleton import straight_skeleton
+        from osm_data_3d_tiles_spark.functions.skeleton_roofs import find_central_edge
+
+        faces = straight_skeleton(RECT[:-1])
+        hit = find_central_edge(faces, [RECT], ["outer"])
+        assert hit is not None
+        a, b, _face = hit
+        # the centroid (10,5) is nearest to a long-side midpoint (10,0)/(10,10)
+        assert np.linalg.norm(b - a) == pytest.approx(20.0)
+
+
 class TestWalls:
     def test_quad_structure(self):
         w = walls.build_walls(SQUARE, 0.0, 12.0, 3.0, 6.0, 13, 13)
