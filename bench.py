@@ -188,7 +188,7 @@ def run_scaling(sf: float) -> dict:
     import subprocess
 
     repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "128"))
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
     samples: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
     for _ in range(rounds):
         for cores in (SCALE_N, SCALE_4N):

@@ -83,12 +83,14 @@ def knn_kring(
     initial_ring: int = 2,
     max_ring: int = 32,
 ) -> DataFrame:
-    """Exact kNN by doubling-radius disc expansion. Same output as knn_bruteforce.
+    """Exact kNN by expanding-radius disc search. Same output as knn_bruteforce.
 
-    Each round runs over the still-unfinished queries only, with radius r doubling
-    (2, 4, 8, …, max_ring) — O(log max_ring) rounds. Outputs and the remaining set
-    are eagerly localCheckpoint-ed so the plan lineage stays flat (no cross-round
-    union growth). Unfinished queries past max_ring (probes in empty regions) fall
+    Each round runs over the still-unfinished queries only, with radius r growing
+    ×4 per round (2, 8, 32, …, max_ring) — the cost of each round is dominated by
+    Spark job latency, not candidate volume, so fewer/fatter rounds beat the
+    classic doubling. Outputs and the remaining set are eagerly
+    localCheckpoint-ed so the plan lineage stays flat (no cross-round union
+    growth). Unfinished queries past max_ring (probes in empty regions) fall
     back to the broadcast brute-force pass.
     """
     spark = queries.sparkSession
@@ -143,14 +145,13 @@ def knn_kring(
             .select("query_id", "rank", "osm_id", "dist2")
             .localCheckpoint(eager=True)
         )
-        if finished.count() > 0:
-            finished_parts.append(finished)
+        finished_parts.append(finished)  # empty parts union harmlessly
         remaining = remaining.join(done_ids, "query_id", "left_anti").localCheckpoint(
             eager=True
         )
         if r >= max_ring:
             break
-        r = min(r * 2, max_ring)
+        r = min(r * 4, max_ring)
 
     out_parts = list(finished_parts)
     if remaining.count() > 0:
