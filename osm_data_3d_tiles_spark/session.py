@@ -48,6 +48,23 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_BYTE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(raw: str) -> int:
+    """Spark size strings: plain bytes, or '128m'/'1g'/'512k' (optional 'b')."""
+    v = str(raw).strip().lower().removesuffix("b")
+    if v and v[-1] in _BYTE_SUFFIX:
+        try:
+            return int(float(v[:-1]) * _BYTE_SUFFIX[v[-1]])
+        except ValueError:
+            return 128 * 1024 * 1024
+    try:
+        return int(v)
+    except ValueError:
+        return 128 * 1024 * 1024
+
+
 def with_min_parallelism(df, factor: int = 1):
     """Ensure a scan-rooted DataFrame has at least defaultParallelism×factor
     partitions before a CPU-bound Arrow/Python stage.
@@ -77,7 +94,8 @@ def with_min_parallelism(df, factor: int = 1):
     # dominated the flagship) for nothing
     import os as _os
 
-    mpb = int(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    mpb = _parse_bytes(raw)
     total = 0
     for f in files:
         path = f[len("file:"):] if f.startswith("file:") else f

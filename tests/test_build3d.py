@@ -310,6 +310,87 @@ class TestWalls:
         assert pos[:, 2].max() == pytest.approx(16.0)
 
 
+class TestClipRange:
+    """Direct goldens for the Sutherland–Hodgman UV clip (roof/type.ts:48-125)."""
+
+    def _tri(self):
+        from osm_data_3d_tiles_spark.functions.mesh import make_verts
+
+        uv = np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]])
+        pos = np.array([[0, 0, 0], [20, 0, 5], [0, 20, 9]], dtype=float)
+        norm = np.tile([0, 0, 1.0], (3, 1))
+        return make_verts(uv, pos, norm)
+
+    def test_half_plane_clip_area(self):
+        from osm_data_3d_tiles_spark.functions.mesh import clip_range
+
+        out = clip_range(self._tri(), "x", 1.0, keep_greater=False, strict=True)
+        # clipping u<1 off a right triangle of legs 2 keeps 3/4 of the area
+        xy = out[:, 0:2]
+        x, y = xy[:, 0], xy[:, 1]
+        area = abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2
+        assert area == pytest.approx(2.0 * 0.75)
+
+    def test_positions_lerped_with_uv(self):
+        from osm_data_3d_tiles_spark.functions.mesh import clip_range
+
+        out = clip_range(self._tri(), "x", 1.0, keep_greater=True, strict=False)
+        # intersection at u=1 on the (0,0)->(2,0) edge sits at pos x = 10
+        on_edge = out[np.isclose(out[:, 0], 1.0) & np.isclose(out[:, 1], 0.0)]
+        assert len(on_edge) == 1
+        assert on_edge[0][2] == pytest.approx(10.0)  # PX lerped
+
+    def test_all_outside_empty(self):
+        from osm_data_3d_tiles_spark.functions.mesh import clip_range
+
+        out = clip_range(self._tri(), "y", 5.0, keep_greater=True, strict=False)
+        assert len(out) == 0
+
+
+class TestSplitPolygon:
+    """Goldens for the crossback polygon splitter (roof/utils.ts:112-218)."""
+
+    def test_split_square_in_two(self):
+        from osm_data_3d_tiles_spark.functions.skeleton_roofs import split_polygon
+
+        sq = [(0, 0), (10, 0), (10, 10), (0, 10)]
+        parts = split_polygon(sq, (5.0, -1.0), (0.0, -1.0))
+        assert len(parts) == 2
+        areas = []
+        for p in parts:
+            xy = np.array(p)
+            x, y = xy[:, 0], xy[:, 1]
+            areas.append(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2)
+        assert sorted(round(a, 6) for a in areas) == [50.0, 50.0]
+
+    def test_no_intersection_single_part(self):
+        from osm_data_3d_tiles_spark.functions.skeleton_roofs import split_polygon
+
+        sq = [(0, 0), (10, 0), (10, 10), (0, 10)]
+        parts = split_polygon(sq, (50.0, 0.0), (0.0, 1.0))
+        assert len(parts) == 1 and len(parts[0]) == 4
+
+    def test_concave_crossback(self):
+        from osm_data_3d_tiles_spark.functions.skeleton_roofs import split_polygon
+
+        # U-shape cut horizontally through both prongs -> 3 parts
+        u = [(0, 0), (30, 0), (30, 20), (22, 20), (22, 8), (8, 8), (8, 20), (0, 20)]
+        parts = split_polygon(u, (-1.0, 14.0), (1.0, 0.0))
+        assert len(parts) == 3
+        total = 0.0
+        for p in parts:
+            xy = np.array(p)
+            x, y = xy[:, 0], xy[:, 1]
+            total += abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2
+        assert total == pytest.approx(30 * 20 - 14 * 12)
+
+    def test_degenerate_raises(self):
+        from osm_data_3d_tiles_spark.functions.skeleton_roofs import split_polygon
+
+        with pytest.raises(ValueError):
+            split_polygon([(0, 0), (1, 1)], (0, 0), (1, 0))
+
+
 class TestMeshOps:
     def test_flip_winding_involution(self):
         pos = np.arange(18, dtype=float)
