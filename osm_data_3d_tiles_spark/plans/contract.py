@@ -859,6 +859,31 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    # ---- salted two-phase count (skew handling; identical result to a plain
+    # GROUP BY — the salt only bounds per-reducer input) ------------------------
+    def salted_counts(spark, sf_dir):
+        from ..operators.spatial_join import salted_count
+
+        pts = doc_points(spark, sf_dir)
+        cells = pts.select(
+            "doc_id",
+            (F.floor((F.col("x") + F.lit(HALF)) / F.lit(SPAN))).alias("tile_x"),
+            (F.floor((F.lit(HALF) - F.col("y")) / F.lit(SPAN))).alias("tile_y"),
+        )
+        return salted_count(cells, ["tile_x", "tile_y"], n_salt=16)
+
+    q["salted_cell_counts"] = (
+        salted_counts,
+        f"""
+        WITH pts AS ({DOC_POINTS_SQL})
+        SELECT CAST(FLOOR((x + {HALF!r}) / {SPAN!r}) AS BIGINT) AS tile_x,
+               CAST(FLOOR(({HALF!r} - y) / {SPAN!r}) AS BIGINT) AS tile_y,
+               COUNT(*) AS count
+        FROM pts
+        GROUP BY 1, 2
+        """,
+    )
+
     # ---- heat-map LOD thinning (deterministic per-cell sampling) --------------
     def lod_thin(spark, sf_dir):
         from ..operators.lod import TILE_SIZE, lod_thinning
