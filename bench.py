@@ -162,7 +162,10 @@ def main() -> None:
         spark.stop()
 
     if not fast:
-        result["scaling"] = run_scaling(sf)
+        try:
+            result["scaling"] = run_scaling(sf)
+        except Exception as e:  # never lose the headline JSON to a scaling hiccup
+            result["scaling"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps(result))
 
