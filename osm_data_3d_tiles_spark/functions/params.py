@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 
 LEVEL_HEIGHT = 4.0  # building-params.ts:6
 
+# raw property columns the derivation consumes (the MVT/BuildingProperties
+# surface; camelCase tag columns are optional — a missing column reads as NULL)
+PROPERTY_INPUT_COLS = [
+    "building_type", "height", "levels", "min_height", "min_level",
+    "roof_levels", "roof_height",
+]
+
 # building-params.ts:8-27
 BUILDINGS_WITHOUT_WINDOWS = [
     "garage", "garages", "greenhouse", "storage_tank", "bunker", "silo", "stadium",

@@ -337,11 +337,27 @@ def build_tiles_3d(buildings_with_tile: DataFrame) -> DataFrame:
     Scale: groupBy(tile_key).applyInPandas — a single hash exchange on tile_key,
     then pure CPU-bound Arrow batches; AQE coalesces small tiles, salting is
     unnecessary because a z16 tile holds a bounded number of buildings."""
+    base_required = ["tile_key", "osm_id", "geometry", "ring_types"]
+    absent = [c for c in base_required if c not in buildings_with_tile.columns]
+    if absent:
+        raise ValueError(
+            f"build_tiles_3d input is missing required columns {absent}; "
+            f"expected an ownership-joined buildings frame with at least "
+            f"{base_required} plus either the derived building_* parameter "
+            "columns (functions.params.with_building_params) or the raw "
+            "property columns they derive from (sources/fixtures.py schema)."
+        )
     cols = [c for c in _NEEDED_COLS if c in buildings_with_tile.columns]
-    missing = [c for c in ("building_height",) if c not in cols]
-    if missing:
-        from ..functions.params import with_building_params
+    if "building_height" not in cols:
+        from ..functions.params import PROPERTY_INPUT_COLS, with_building_params
 
+        raw_missing = [c for c in PROPERTY_INPUT_COLS if c not in buildings_with_tile.columns]
+        if raw_missing:
+            raise ValueError(
+                f"build_tiles_3d input has neither derived building_* columns "
+                f"nor the raw property columns (missing {raw_missing}); see "
+                "sources/fixtures.py::make_buildings for the expected schema."
+            )
         buildings_with_tile = with_building_params(buildings_with_tile)
         cols = [c for c in _NEEDED_COLS if c in buildings_with_tile.columns]
     narrow = buildings_with_tile.select(*cols)
