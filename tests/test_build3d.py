@@ -265,6 +265,38 @@ class TestOrientedRoofs:
         assert part["heights"].max() == pytest.approx(15.0)
 
 
+class TestDirectionSnap:
+    """Goldens for getNearestDirection (roof/utils.ts:255-272) and
+    getRotationVectorsFromOMBB (:478-529)."""
+
+    @pytest.mark.parametrize("angle,expect", [
+        (0, 0), (44.9, 0), (45, 90), (134.9, 90), (135, 180), (224.9, 180),
+        (225, 270), (314.9, 270), (315, 0), (359, 0), (-45, 0), (405, 90), (720, 0),
+    ])
+    def test_nearest_direction(self, angle, expect):
+        assert roofs.get_nearest_direction(angle) == expect
+
+    def test_orientation_along_profiles_short_axis(self):
+        # ombb [ul, bl, br, ur] of a 20x10 box. 'along' = ridge along the LONG
+        # axis, so the profile sweep axis rot0 becomes the SHORT one
+        # (roof/utils.ts:516-524 swaps corners when l0 > l1 and 'along')
+        ombb = np.array([[0, 10], [0, 0], [20, 0], [20, 10]], float)
+        origin, rot0, rot1 = roofs.rotation_vectors_from_ombb(ombb, "along", None)
+        assert np.linalg.norm(rot0) == pytest.approx(10.0)
+
+    def test_orientation_across_profiles_long_axis(self):
+        ombb = np.array([[0, 10], [0, 0], [20, 0], [20, 10]], float)
+        origin, rot0, rot1 = roofs.rotation_vectors_from_ombb(ombb, "across", None)
+        assert np.linalg.norm(rot0) == pytest.approx(20.0)
+
+    def test_direction_rotates_corner_assignment(self):
+        ombb = np.array([[0, 10], [0, 0], [20, 0], [20, 10]], float)
+        o0, r00, _ = roofs.rotation_vectors_from_ombb(ombb, None, 0.0)
+        o90, r90, _ = roofs.rotation_vectors_from_ombb(ombb, None, 90.0)
+        # a 90° direction request must pick a different OMBB corner as origin
+        assert not np.array_equal(o0, o90)
+
+
 class TestFindCentralEdge:
     def test_rect_central_edge_is_long_side(self):
         from osm_data_3d_tiles_spark.functions.skeleton import straight_skeleton
