@@ -265,7 +265,15 @@ def build_queries() -> dict:
             .groupBy("tile_key")
             .agg(
                 F.count("*").alias("batch_length"),
-                F.sort_array(F.collect_list(F.col("url").cast("long"))).alias("doc_ids"),
+                # serialized (not a raw array column) so the driver's pandas
+                # canonicalizer can sort/hash the output deterministically
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.col("url").cast("long"))),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("doc_ids"),
             )
         )
 
@@ -298,7 +306,7 @@ def build_queries() -> dict:
         )
         SELECT o.tile_key,
                COUNT(*) AS batch_length,
-               list(j.doc_id ORDER BY j.doc_id) AS doc_ids
+               array_to_string(list(j.doc_id ORDER BY j.doc_id), ',') AS doc_ids
         FROM joined j JOIN owners o ON j.osm_id = o.osm_id
         GROUP BY o.tile_key
         """,
@@ -538,8 +546,8 @@ def build_relational_queries() -> dict:
         q1,
         """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
-               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
                COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -568,7 +576,7 @@ def build_relational_queries() -> dict:
         q3,
         """
         SELECT o_orderkey,
-               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_c
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -623,7 +631,7 @@ def build_relational_queries() -> dict:
         """
         SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start_epoch,
                event_type, COUNT(*) AS n,
-               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_sum_c
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_c
         FROM events GROUP BY 1, 2
         """,
     )
@@ -656,8 +664,8 @@ def build_relational_queries() -> dict:
         ),
         sess AS (
             SELECT user_id, ts,
-                   SUM(COALESCE(new_sess, 0)) OVER
-                       (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+                   CAST(SUM(COALESCE(new_sess, 0)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
             FROM marked
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -819,7 +827,7 @@ def build_webtext_queries() -> dict:
     q["doc_length_stats"] = (
         doc_stats,
         """
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         FROM documents GROUP BY lang
         """,
@@ -911,7 +919,8 @@ def build_webtext_queries() -> dict:
         ),
         cells AS (
             SELECT instance_id,
-                   FLOOR(local_x / {_ts!r} * 12) + FLOOR(local_y / {_ts!r} * 12) * 12 AS heat_cell
+                   CAST(FLOOR(local_x / {_ts!r} * 12) + FLOOR(local_y / {_ts!r} * 12) * 12 AS BIGINT)
+                       AS heat_cell
             FROM inst
         ),
         ranked AS (
@@ -1104,7 +1113,16 @@ def build_rows_only_queries() -> dict:
 
     def multimodal(spark, sf_dir):
         media = make_media_fixture(spark, 64)
-        return extract_features(media)
+        # serialize the float-array feature column (fixture features are exact
+        # 4-dp fractions) so the driver's pandas canonicalizer can sort/hash it
+        return extract_features(media).select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.array_join(
+                F.transform("features", lambda x: F.format_number(x, 4)), ","
+            ).alias("features"),
+        )
 
     q["multimodal_features"] = multimodal
 

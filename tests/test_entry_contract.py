@@ -67,6 +67,15 @@ def test_oracle_match(spark, duck, name):
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
     g, w = normalize(got), normalize(want)
     for c in g.columns:
+        # dtype parity approximates the driver's value-hash gate: DuckDB
+        # HUGEINT/DOUBLE outputs land in pandas as float64/object where Spark
+        # gives int64, and hash(123.0) != hash(123) there even though == holds.
+        # kind (not exact width): int32-vs-int64 survives the driver's hash,
+        # float64-vs-int64 does not.
+        assert g[c].dtype.kind == w[c].dtype.kind, (
+            f"{name}.{c}: dtype {g[c].dtype} != oracle {w[c].dtype} "
+            "(add an explicit CAST in the oracle SQL)"
+        )
         gv, wv = g[c].tolist(), w[c].tolist()
         assert gv == wv, f"{name}.{c}: first diff at " + str(
             next((i, a, b) for i, (a, b) in enumerate(zip(gv, wv)) if a != b)
