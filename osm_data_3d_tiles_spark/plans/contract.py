@@ -867,6 +867,57 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    # ---- embedding cosine near-dup (banded multi-table hyperplane LSH) --------
+    # The synthetic embeddings top out at pairwise cosine ~0.51, so the positive
+    # path is exercised by planting deterministic near-dups: perturbed copies
+    # (first component ×1.02, id +10M) of the first 25 vectors. The oracle is
+    # brute-force exact cosine over all pairs — the LSH must find every planted
+    # pair (at cosine ≈0.9998 the 8-table×8-bit miss probability is ~5e-14) and
+    # nothing else (next-highest pair ~0.51 vs threshold 0.9; no fp boundary).
+    def emb_neardup(spark, sf_dir):
+        from ..operators.dedup import embedding_neardup_pairs
+
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") < 500)
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        )
+        pert = emb.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1) * F.lit(1.02)),
+                F.slice("embedding", 2, F.size("embedding") - 1),
+            ).alias("embedding"),
+        )
+        return embedding_neardup_pairs(emb.unionByName(pert), threshold=0.9).select("a", "b")
+
+    q["dedup_embedding_cosine"] = (
+        emb_neardup,
+        """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < 500
+        ),
+        pert AS (
+            SELECT vec_id + 10000000 AS vec_id,
+                   list_concat([e[1] * 1.02], e[2:]) AS e
+            FROM base WHERE vec_id < 25
+        ),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        unit AS (
+            SELECT vec_id,
+                   list_transform(e, x -> x /
+                       sqrt(list_aggregate(list_transform(e, y -> y * y), 'sum'))) AS u
+            FROM allv
+        )
+        SELECT p.vec_id AS a, q.vec_id AS b
+        FROM unit p, unit q
+        WHERE p.vec_id < q.vec_id
+          AND list_aggregate(list_transform(list_zip(p.u, q.u),
+              z -> z[1] * z[2]), 'sum') >= 0.9
+        """,
+    )
+
     # ---- salted two-phase count (skew handling; identical result to a plain
     # GROUP BY — the salt only bounds per-reducer input) ------------------------
     def salted_counts(spark, sf_dir):
@@ -1077,16 +1128,6 @@ def build_rows_only_queries() -> dict:
         return simhash_pairs(docs, max_hamming=8)
 
     q["dedup_simhash"] = simhash_q
-
-    def emb_neardup(spark, sf_dir):
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        # the synthetic embeddings top out at cosine ~0.51, so this returns 0
-        # rows by design: hyperplane-LSH recall is intentionally ~0 below the
-        # near-dup regime. The operator's positive path is covered by
-        # tests/test_operators.py::test_embedding_neardup with crafted vectors.
-        return embedding_neardup_pairs(emb, threshold=0.9)
-
-    q["dedup_embedding_cosine"] = emb_neardup
 
     def ann_ivf(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
