@@ -140,9 +140,13 @@ def extent_predicate(
     cell_max_x = -m.HALF_SIZE + (max_tx + 1) * span
     cell_max_y = m.HALF_SIZE - min_ty * span
     cell_min_y = m.HALF_SIZE - (max_ty + 1) * span
+    # x rows are left-inclusive (floor((x + HALF)/span)), but the y-down mapping
+    # floor((HALF - y)/span) makes tile rows TOP-inclusive/bottom-exclusive, so
+    # the y bounds flip: a point exactly on the snapped top edge is in row
+    # min_ty (keep), one exactly on the bottom edge is in row max_ty+1 (drop)
     return (
         (F.col(x_col) >= cell_min_x)
         & (F.col(x_col) < cell_max_x)
-        & (F.col(y_col) >= cell_min_y)
-        & (F.col(y_col) < cell_max_y)
+        & (F.col(y_col) > cell_min_y)
+        & (F.col(y_col) <= cell_max_y)
     )

@@ -70,6 +70,12 @@ def _pip_refine_factory(
     return _refine, schema
 
 
+# Above this many buildings the geometry dimension no longer belongs in a
+# driver-materialized Python broadcast (unbounded driver memory + one fat
+# pickle to every worker): the refine switches to the cogrouped path.
+BROADCAST_GEOM_MAX_BUILDINGS = 200_000
+
+
 def spatial_join(
     pages_pts: DataFrame,
     buildings: DataFrame,
@@ -77,6 +83,7 @@ def spatial_join(
     page_cols: tuple[str, ...] = ("url",),
     building_cols: tuple[str, ...] = ("osm_id",),
     precomputed_cells: DataFrame | None = None,
+    refine: str = "auto",
 ) -> DataFrame:
     """pages_pts(url, x, y, …) ⋈ buildings(osm_id, geometry, ring_types, …) →
     one row per (page, containing building). Exact ray-cast semantics after the
@@ -91,10 +98,22 @@ def spatial_join(
     prefilter selectivity against covering-cell count — results are identical.
 
     Geometry never rides the join: the equi-join carries only (cell, osm_id) on
-    the broadcast side, and ring coordinates reach the refine workers once per
-    executor as a Spark broadcast variable. Attaching the nested geometry arrays
-    as a join column duplicates them onto every candidate row and melts the
-    Arrow transfer + JVM heap exactly where candidates are densest (hot cells)."""
+    the broadcast side. Attaching the nested geometry arrays as a join column
+    would duplicate them onto every candidate row and melt the Arrow transfer +
+    JVM heap exactly where candidates are densest (hot cells). Two exact-refine
+    strategies deliver the rings instead (`refine=`):
+
+    - ``"broadcast"`` — ring dict as a Spark broadcast variable; zero shuffle
+      anywhere (the fact table never exchanges). Requires materializing the
+      dimension on the driver, so it is bounded by
+      `BROADCAST_GEOM_MAX_BUILDINGS`.
+    - ``"cogroup"`` — candidates cogrouped with the deduped geometry table on
+      osm_id (`applyInPandas` over the cogroup): geometry crosses the wire once
+      per building, never per candidate, nothing touches the driver. Costs one
+      shuffle of the CANDIDATE set (≈ small multiple of the true matches at
+      z20, orders of magnitude below the fact table) — the planet-scale path.
+    - ``"auto"`` — broadcast below the threshold, cogroup above.
+    """
     spark = buildings.sparkSession
     base_cells = (
         precomputed_cells if precomputed_cells is not None else building_cells(buildings, z)
@@ -105,8 +124,46 @@ def spatial_join(
         cells.join(buildings.select("osm_id", *extra), "osm_id") if extra else cells
     )
 
-    # geometry dimension → one broadcast dict of numpy rings (the same per-extent
-    # dimension table the cell prefilter broadcasts; geometry bytes ≪ candidates)
+    from ..session import with_min_parallelism
+
+    probe = pages_with_cell(with_min_parallelism(pages_pts), z)
+    cand = probe.join(F.broadcast(build_side), "cell")
+
+    out_fields = [cand.schema[c] for c in page_cols] + [cand.schema[c] for c in building_cols]
+    needed = list(dict.fromkeys(list(page_cols) + list(building_cols) + ["x", "y", "osm_id"]))
+
+    if refine == "auto":
+        n_buildings = buildings.select("osm_id").count()
+        refine = "broadcast" if n_buildings <= BROADCAST_GEOM_MAX_BUILDINGS else "cogroup"
+
+    if refine == "cogroup":
+        schema = T.StructType(out_fields)
+        names = [f.name for f in out_fields]
+
+        def _refine_cogrouped(cand_pdf: pd.DataFrame, geom_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(cand_pdf) == 0 or len(geom_pdf) == 0:
+                return pd.DataFrame({n: [] for n in names})
+            rings = [
+                np.asarray([[float(p[0]), float(p[1])] for p in ring], dtype=np.float64)
+                for ring in geom_pdf["geometry"].iloc[0]
+            ]
+            pts = np.column_stack(
+                [
+                    cand_pdf["x"].to_numpy(dtype=np.float64),
+                    cand_pdf["y"].to_numpy(dtype=np.float64),
+                ]
+            )
+            return cand_pdf.loc[g.points_in_polygon(pts, rings), names]
+
+        geom = buildings.select("osm_id", "geometry")
+        return (
+            cand.select(*needed)
+            .groupBy("osm_id")
+            .cogroup(geom.groupBy("osm_id"))
+            .applyInPandas(lambda _k, c, b: _refine_cogrouped(c, b), schema=schema)
+        )
+
+    # broadcast refine: ring dict once per worker via a Spark broadcast variable
     geom_rows = buildings.select("osm_id", "geometry").collect()
     geoms = {
         row["osm_id"]: [
@@ -116,16 +173,8 @@ def spatial_join(
         for row in geom_rows
     }
     geom_bc = spark.sparkContext.broadcast(geoms)
-
-    from ..session import with_min_parallelism
-
-    probe = pages_with_cell(with_min_parallelism(pages_pts), z)
-    cand = probe.join(F.broadcast(build_side), "cell")
-
-    out_fields = [cand.schema[c] for c in page_cols] + [cand.schema[c] for c in building_cols]
-    refine, schema = _pip_refine_factory(("x", "y"), out_fields, geom_bc)
-    needed = list(dict.fromkeys(list(page_cols) + list(building_cols) + ["x", "y", "osm_id"]))
-    return cand.select(*needed).mapInPandas(refine, schema=schema)
+    refine_fn, schema = _pip_refine_factory(("x", "y"), out_fields, geom_bc)
+    return cand.select(*needed).mapInPandas(refine_fn, schema=schema)
 
 
 def salted_count(df: DataFrame, key_cols: list[str], n_salt: int = 32) -> DataFrame:

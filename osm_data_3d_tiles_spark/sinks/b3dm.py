@@ -98,16 +98,37 @@ def pack_glb(
     json_bytes = _pad(json.dumps(gltf, separators=(",", ":")).encode(), 4, b" ")
     bin_bytes = _pad(b"".join(bin_parts), 4, b"\x00")
     total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
+    if total % 8:
+        # pad the GLB itself to an 8-byte length (trailing BIN-chunk padding —
+        # buffer.byteLength may be smaller than the chunk) so that inside a
+        # b3dm whose body starts 8-aligned, the tile's total length stays
+        # 8-aligned too
+        extra = 8 - total % 8
+        bin_bytes += b"\x00" * extra
+        total += extra
     out = struct.pack("<III", GLB_MAGIC, 2, total)
     out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
     out += struct.pack("<II", len(bin_bytes), BIN_CHUNK) + bin_bytes
     return out
 
 
+def _pad_from(data: bytes, start: int, boundary: int, pad_byte: bytes) -> bytes:
+    """Pad so that (start + len(data)) % boundary == 0 — alignment is relative
+    to the START OF THE TILE, not to the block itself (3D Tiles 1.0 §B3DM:
+    each JSON block and the binary body must begin/end on 8-byte offsets)."""
+    rem = (start + len(data)) % boundary
+    if rem:
+        data += pad_byte * (boundary - rem)
+    return data
+
+
 def pack_b3dm(glb: bytes, feature_table: dict, batch_table: dict) -> bytes:
-    """3D Tiles B3DM: header(28) + FT JSON (8-byte space-padded) + BT JSON + glb."""
-    ft = _pad(json.dumps(feature_table, separators=(",", ":")).encode(), 8, b" ")
-    bt = _pad(json.dumps(batch_table, separators=(",", ":")).encode(), 8, b" ")
+    """3D Tiles B3DM: 28-byte header + FT JSON + BT JSON + glb, each block
+    space/zero-padded so its ABSOLUTE end offset is 8-byte aligned (the 28-byte
+    header means block-local `len % 8 == 0` padding would misalign everything
+    after it by 4 — strict loaders reject such tiles)."""
+    ft = _pad_from(json.dumps(feature_table, separators=(",", ":")).encode(), 28, 8, b" ")
+    bt = _pad_from(json.dumps(batch_table, separators=(",", ":")).encode(), 28 + len(ft), 8, b" ")
     body = ft + bt + glb
     header = struct.pack("<4sIIIIII", b"b3dm", 1, 28 + len(body), len(ft), 0, len(bt), 0)
     return header + body

@@ -70,7 +70,7 @@ def stream_pages_from_dir(spark, path: str, schema) -> DataFrame:
 # custom stateful operator: streaming first-claimer ownership
 # ---------------------------------------------------------------------------
 
-OWNERSHIP_STATE_SCHEMA = "tile_order string"
+OWNERSHIP_STATE_SCHEMA = "tile_key string, sx long, sy long, x long, y long"
 OWNERSHIP_OUT_SCHEMA = "osm_id long, tile_key string, changed boolean"
 
 
@@ -78,20 +78,29 @@ def _ownership_fn(key, pdf_iter, state):
     """Keeps the minimum tile-order claim per osm_id across micro-batches — the
     incremental form of the ownership window (operators/ownership.py), i.e. the
     reference's SQLite `INSERT OR IGNORE` claim table
-    (unique-tile-per-building.ts:29-39) as managed streaming state."""
+    (unique-tile-per-building.ts:29-39) as managed streaming state. The order
+    key is the parsed NUMERIC seed-order tuple (x//16, y//16, x, y), never the
+    key string: engine keys are unpadded ('16_1000_5'), so string comparison
+    would disagree with numeric order — and even padded strings would order by
+    (x, y), not by the z12-subtile walk the batch operator uses."""
     import pandas as pd
 
-    best = state.get[0] if state.exists else None
+    best = tuple(state.get) if state.exists else None
     changed = False
     for pdf in pdf_iter:
         for tk in pdf["tile_key"]:
-            if best is None or tk < best:
-                best = tk
+            _z, xs, ys = tk.split("_")
+            x, y = int(xs), int(ys)
+            order = (x // 16, y // 16, x, y)
+            if best is None or order < best[1:]:
+                best = (tk, *order)
                 changed = True
     if best is not None:
-        state.update((best,))
+        state.update(best)
     yield pd.DataFrame({
-        "osm_id": [key[0]], "tile_key": [best], "changed": [changed],
+        "osm_id": [key[0]],
+        "tile_key": [best[0] if best else None],
+        "changed": [changed],
     })
 
 
@@ -102,7 +111,9 @@ def streaming_ownership(claims: DataFrame) -> DataFrame:
     The batch ownership window needs every claim before deciding; this operator
     decides incrementally with per-key state, emitting the current owner after
     each micro-batch (`changed` marks ownership transfers). Order key = the
-    zero-padded tile_key string (same seed-order semantics as SURVEY.md §3.3)."""
+    numeric (x//16, y//16, x, y) tuple parsed from the tile key — identical to
+    the batch `owner_tiles` window order (SURVEY.md §3.3), so feeding the
+    engine's own claim stream yields the same owners as the batch operator."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return claims.groupBy("osm_id").applyInPandasWithState(

@@ -63,8 +63,15 @@ class TestGlbPacking:
         assert out["feature_table"] == {"BATCH_LENGTH": 3}
         assert out["batch_table"] == {"building_height": [1, 2, 3]}
         assert out["glb"].startswith(b"glTF")
-        # 8-byte alignment of both JSON blocks (3D Tiles spec requirement)
-        assert struct.unpack("<I", data[12:16])[0] % 8 == 0
+        # 3D Tiles 1.0 alignment is relative to the START OF THE TILE: with a
+        # 28-byte header each block's ABSOLUTE end offset must be 8-aligned
+        # (block-local len % 8 == 0 would leave everything off by 4)
+        ftj = struct.unpack("<I", data[12:16])[0]
+        btj = struct.unpack("<I", data[20:24])[0]
+        assert (28 + ftj) % 8 == 0           # featureTable JSON end
+        assert (28 + ftj + btj) % 8 == 0     # batchTable JSON end = GLB start
+        assert struct.unpack("<I", data[8:12])[0] % 8 == 0  # total tile length
+        assert len(data) % 8 == 0
 
 
 @pytest.fixture(scope="module")

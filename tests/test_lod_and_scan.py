@@ -65,6 +65,31 @@ class TestExtentPredicate:
         kept = df.filter(extent_predicate(ext)).select("id").collect()
         assert [r.id for r in kept] == [1]
 
+    def test_edge_inclusivity_matches_tile_mapping(self, spark):
+        """A point exactly on the snapped top edge belongs to tile row min_ty
+        (keep); one exactly on the bottom edge is in row max_ty+1 (drop) —
+        the predicate must agree with floor((HALF−y)/span) row assignment."""
+        ext = m.tile_extent(12, 2103, 1461)
+        min_tx, min_ty, max_tx, max_ty = m.tile_range_for_extent(ext, 16)
+        span = m.tile_span(16)
+        top_edge_y = m.HALF_SIZE - min_ty * span
+        bottom_edge_y = m.HALF_SIZE - (max_ty + 1) * span
+        left_edge_x = -m.HALF_SIZE + min_tx * span
+        right_edge_x = -m.HALF_SIZE + (max_tx + 1) * span
+        mid_x = (left_edge_x + right_edge_x) / 2
+        mid_y = (top_edge_y + bottom_edge_y) / 2
+        df = spark.createDataFrame(
+            [
+                (1, mid_x, top_edge_y),     # top edge → row min_ty → keep
+                (2, mid_x, bottom_edge_y),  # bottom edge → row max_ty+1 → drop
+                (3, left_edge_x, mid_y),    # left edge → col min_tx → keep
+                (4, right_edge_x, mid_y),   # right edge → col max_tx+1 → drop
+            ],
+            ["id", "x", "y"],
+        )
+        kept = sorted(r.id for r in df.filter(extent_predicate(ext)).select("id").collect())
+        assert kept == [1, 3]
+
     def test_pushdown_reaches_scan(self, spark, tmp_path):
         ext = m.tile_extent(12, 2103, 1461)
         path = str(tmp_path / "pts.parquet")

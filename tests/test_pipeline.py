@@ -81,6 +81,20 @@ class TestSpatialJoin:
         got_set = set(zip(got["url"], got["osm_id"].astype(int)))
         assert got_set == oracle_join(pages_pdf, buildings_pdf)
 
+    def test_cogroup_refine_equals_broadcast(self, spark, pages, buildings):
+        """The no-driver-materialization cogrouped refine (the >200k-building
+        scale path) must produce the identical join."""
+        from osm_data_3d_tiles_spark.operators.spatial_join import spatial_join
+        from osm_data_3d_tiles_spark.plans.pipeline import geotagged_points
+
+        pts = geotagged_points(pages)
+        blds = buildings.filter(F.col("layer") == "buildings")
+        a = spatial_join(pts, blds, refine="broadcast").toPandas()
+        b = spatial_join(pts, blds, refine="cogroup").toPandas()
+        key = lambda df: sorted(zip(df["url"], df["osm_id"]))
+        assert key(a) == key(b)
+        assert len(a) > 0
+
     def test_join_partitioning_invariance(self, spark, pages, buildings):
         """Same result at different parallelism — required for the N vs 4N scaling
         criterion to be meaningful."""

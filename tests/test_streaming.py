@@ -24,8 +24,10 @@ class TestStreamingOwnership:
 
         src_dir = str(tmp_path / "claims")
         os.makedirs(src_dir)
-        # batch 1: building 1 claimed by tile B, building 2 by tile C
-        _write_batch(src_dir, 1, [(1, "16_00200_00100"), (2, "16_00300_00100")])
+        # batch 1: building 1 claimed by tile B, building 2 by tile C.
+        # Engine keys are UNPADDED ("16_1000_5") — chosen here so numeric and
+        # lexicographic order disagree ("16_999_5" > "16_1000_5" as strings).
+        _write_batch(src_dir, 1, [(1, "16_1000_5"), (2, "16_300_100")])
 
         stream = (
             spark.readStream.schema("osm_id long, tile_key string").parquet(src_dir)
@@ -41,17 +43,63 @@ class TestStreamingOwnership:
         try:
             q.processAllAvailable()
             r1 = {r.osm_id: r.tile_key for r in spark.sql("select * from ownership_test").collect()}
-            assert r1 == {1: "16_00200_00100", 2: "16_00300_00100"}
+            assert r1 == {1: "16_1000_5", 2: "16_300_100"}
 
-            # batch 2: earlier-order claim for building 1 (wins), later claim for 2 (ignored)
-            _write_batch(src_dir, 2, [(1, "16_00100_00100"), (2, "16_00900_00900")])
+            # batch 2: numerically-earlier claim for building 1 (wins — a string
+            # comparison would wrongly keep 16_1000_5), later claim for 2 (ignored)
+            _write_batch(src_dir, 2, [(1, "16_999_5"), (2, "16_900_900")])
             q.processAllAvailable()
             rows = spark.sql("select * from ownership_test").collect()
             latest = {}
             for r in rows:  # memory sink appends updates; last write wins
                 latest[r.osm_id] = (r.tile_key, r.changed)
-            assert latest[1] == ("16_00100_00100", True)  # ownership transferred
-            assert latest[2] == ("16_00300_00100", False)  # first claim kept
+            assert latest[1] == ("16_999_5", True)  # ownership transferred
+            assert latest[2] == ("16_300_100", False)  # first claim kept
+        finally:
+            q.stop()
+
+    def test_agrees_with_batch_owner_window(self, spark, tmp_path):
+        """Streaming ownership over the engine's own claims must equal the batch
+        owner_tiles window — the docstring's incremental-form claim."""
+        from osm_data_3d_tiles_spark.functions import mercator as m
+        from osm_data_3d_tiles_spark.operators.ownership import owner_tiles
+        from osm_data_3d_tiles_spark.streaming.events import streaming_ownership
+        from pyspark.sql import functions as F
+
+        # claims that straddle z12-subtile boundaries and digit-count changes
+        cells = [
+            (1, 1000, 5), (1, 999, 5), (1, 999, 4),
+            (2, 15, 16), (2, 16, 15),          # different subtile rows/cols
+            (3, 31, 31), (3, 32, 0),           # (1,1,31,31) vs (2,0,32,0)
+        ]
+        batch_df = spark.createDataFrame(cells, "osm_id long, tile_x long, tile_y long")
+        want = {
+            r.osm_id: r.tile_key
+            for r in owner_tiles(batch_df).select("osm_id", "tile_key").collect()
+        }
+
+        src_dir = str(tmp_path / "claims2")
+        os.makedirs(src_dir)
+        keys = [
+            (oid, f"16_{x}_{y}") for oid, x, y in cells
+        ]
+        _write_batch(src_dir, 1, keys)
+        stream = spark.readStream.schema("osm_id long, tile_key string").parquet(src_dir)
+        q = (
+            streaming_ownership(stream)
+            .writeStream.format("memory")
+            .queryName("ownership_batch_parity")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.osm_id: r.tile_key
+                for r in spark.sql("select * from ownership_batch_parity").collect()
+            }
+            assert got == want
         finally:
             q.stop()
 
