@@ -144,10 +144,16 @@ def main() -> None:
     try:
         warm_up(spark, CPUS)
 
-        secs, n_docs, n_rows = run_flagship(spark, sf)
+        # best-of-3: the sandbox is a shared VM whose identical job has been
+        # observed to swing >2x run-to-run; the minimum reflects the code, the
+        # spread is reported alongside (same policy the scaling runs use)
+        flagship_rounds = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_ROUNDS", "3"))
+        runs = [run_flagship(spark, sf) for _ in range(flagship_rounds)]
+        secs, n_docs, n_rows = min(runs, key=lambda r: r[0])
         result["metric"] = "spatial_join_tile_assignment_docs_per_sec"
         result["value"] = round(n_docs / secs, 2)
         result["flagship_secs"] = round(secs, 3)
+        result["flagship_all_secs"] = [round(r[0], 3) for r in runs]
         result["flagship_docs"] = n_docs
         result["flagship_join_rows"] = n_rows
 

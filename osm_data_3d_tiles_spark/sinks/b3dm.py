@@ -38,17 +38,54 @@ def _pad(data: bytes, boundary: int, pad_byte: bytes) -> bytes:
     return data
 
 
+WELD_TOLERANCE = 1e-10  # reference: b3dmGenerator.ts:169-181 (mergeVertices tolerance)
+
+
+def weld_vertices(
+    pos: np.ndarray, nrm: np.ndarray, tex: np.ndarray, bid: np.ndarray,
+    tolerance: float = WELD_TOLERANCE,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Merge vertices whose FULL attribute tuple (position, normal, uv,
+    batch id) agrees within `tolerance` (quantized to the tolerance grid, the
+    same rule as the reference's three.js mergeVertices at
+    b3dmGenerator.ts:169-181) → (pos, nrm, tex, bid, indices). First occurrence
+    wins; triangle winding is preserved because only indices are remapped."""
+    attrs = np.column_stack([pos, nrm, tex, bid.reshape(-1, 1)]).astype(np.float64)
+    # float64 grid keys: tile-local coords (≤1e7 m) / 1e-10 stay well inside
+    # int64; float32 attribute spacing ≫ tolerance, so this is an exact-match
+    # merge on the stored float32 values (the reference's post-quantization
+    # behavior), never a lossy snap
+    keys = np.round(attrs / tolerance).astype(np.int64)
+    _, first_idx, inverse = np.unique(keys, axis=0, return_index=True, return_inverse=True)
+    # np.unique sorts — remap so output vertices keep first-appearance order
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    indices = rank[inverse].astype(np.uint32)
+    keep = first_idx[order]
+    return pos[keep], nrm[keep], tex[keep], bid[keep], indices
+
+
 def pack_glb(
     position: np.ndarray,
     normal: np.ndarray,
     uv: np.ndarray,
     batch_id: np.ndarray,
+    weld: bool = True,
 ) -> bytes:
-    """Non-indexed triangle mesh → glTF 2.0 binary (one buffer, 4 accessors)."""
+    """Triangle mesh → glTF 2.0 binary (one buffer; indexed when welded).
+
+    weld=True deduplicates vertices shared by adjacent triangles (flat-roof
+    fans, wall strips share almost every vertex) into an indexed mesh —
+    the reference runs the same weld before export; skipping it inflates every
+    tile's vertex buffers with duplicates."""
     pos = np.asarray(position, dtype=np.float32).reshape(-1, 3)
     nrm = np.asarray(normal, dtype=np.float32).reshape(-1, 3)
     tex = np.asarray(uv, dtype=np.float32).reshape(-1, 2)
     bid = np.asarray(batch_id, dtype=np.float32).reshape(-1)
+    indices: np.ndarray | None = None
+    if weld and len(pos):
+        pos, nrm, tex, bid, indices = weld_vertices(pos, nrm, tex, bid)
     n = len(pos)
 
     views = []
@@ -80,6 +117,20 @@ def pack_glb(
     add(tex, 5126, "VEC2", 2, False)
     add(bid, 5126, "SCALAR", 1, False)
 
+    index_accessor = None
+    if indices is not None:
+        raw = _pad(indices.astype(np.uint32).tobytes(), 4, b"\x00")
+        views.append({"buffer": 0, "byteOffset": offset, "byteLength": len(raw)})
+        accessors.append({
+            "bufferView": len(views) - 1,
+            "componentType": 5125,  # UNSIGNED_INT
+            "count": int(len(indices)),
+            "type": "SCALAR",
+        })
+        index_accessor = len(accessors) - 1
+        bin_parts.append(raw)
+        offset += len(raw)
+
     gltf = {
         "asset": {"version": "2.0", "generator": "osm-data-3d-tiles-spark"},
         "scene": 0,
@@ -89,6 +140,7 @@ def pack_glb(
             "primitives": [{
                 "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2, "_BATCHID": 3},
                 "mode": 4,
+                **({"indices": index_accessor} if index_accessor is not None else {}),
             }]
         }],
         "buffers": [{"byteLength": offset}],

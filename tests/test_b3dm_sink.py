@@ -53,6 +53,43 @@ class TestGlbPacking:
         raw = glb[boff + 8 + view0["byteOffset"]:][: view0["byteLength"]]
         assert np.array_equal(np.frombuffer(raw[:36], dtype=np.float32), pos)
 
+    def test_weld_dedups_shared_edge(self):
+        """Quad as two triangles sharing an edge: 6 input vertices → 4 welded,
+        6 indices, and the indexed mesh reconstructs the original triangles."""
+        quad = np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0],   # tri 1
+             [0, 0, 0], [1, 1, 0], [0, 1, 0]],  # tri 2 shares 2 vertices
+            dtype=np.float32,
+        )
+        nrm = np.tile([0, 0, 1], 6).astype(np.float32)
+        uv = np.zeros(12, dtype=np.float32)
+        bid = np.zeros(6, dtype=np.float32)
+        glb = pack_glb(quad.ravel(), nrm, uv, bid)
+        jlen = struct.unpack("<II", glb[12:20])[0]
+        gltf = json.loads(glb[20: 20 + jlen])
+        prim = gltf["meshes"][0]["primitives"][0]
+        assert gltf["accessors"][prim["attributes"]["POSITION"]]["count"] == 4
+        idx_acc = gltf["accessors"][prim["indices"]]
+        assert idx_acc["count"] == 6 and idx_acc["componentType"] == 5125
+        boff = 20 + jlen
+        bin_start = boff + 8
+        pview = gltf["bufferViews"][prim["attributes"]["POSITION"]]
+        iview = gltf["bufferViews"][idx_acc["bufferView"]]
+        pos = np.frombuffer(
+            glb[bin_start + pview["byteOffset"]:][: 4 * 12], np.float32
+        ).reshape(4, 3)
+        idx = np.frombuffer(glb[bin_start + iview["byteOffset"]:][: 6 * 4], np.uint32)
+        assert np.array_equal(pos[idx], quad)
+
+    def test_weld_off_keeps_soup(self):
+        tri = np.zeros(9, np.float32)
+        glb = pack_glb(tri, tri, np.zeros(6, np.float32), np.zeros(3, np.float32), weld=False)
+        jlen = struct.unpack("<II", glb[12:20])[0]
+        gltf = json.loads(glb[20: 20 + jlen])
+        prim = gltf["meshes"][0]["primitives"][0]
+        assert "indices" not in prim
+        assert gltf["accessors"][0]["count"] == 3
+
     def test_b3dm_roundtrip(self):
         glb = pack_glb(
             np.zeros(9, np.float32), np.zeros(9, np.float32),
