@@ -99,7 +99,7 @@ def main(argv: list[str] | None = None) -> int:
 
     g = sub.add_parser("generate-tileset", help="write tileset.json + subtiles")
     g.add_argument("--out", required=True)
-    g.add_argument("--mode", choices=("mercator", "ecef"), default="mercator")
+    g.add_argument("--mode", choices=("mercator", "ecef", "custombox"), default="mercator")
     g.add_argument("--extent", nargs=4, type=float, default=None,
                    metavar=("MINX", "MINY", "MAXX", "MAXY"))
     g.set_defaults(fn=cmd_generate_tileset)
@@ -107,7 +107,7 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("seed", help="materialize all B3DM tiles (batch)")
     s.add_argument("--out", required=True)
     s.add_argument("--sf", type=float, default=0.001)
-    s.add_argument("--mode", choices=("mercator", "ecef"), default="mercator")
+    s.add_argument("--mode", choices=("mercator", "ecef", "custombox"), default="mercator")
     s.set_defaults(fn=cmd_seed)
 
     f = sub.add_parser("flagship", help="pages→PIP-join→ownership with checkpoints")

@@ -115,3 +115,88 @@ FACADE_MATERIAL_TO_TEXTURE = {
 }
 
 MERCATOR_SCALE = 1.52122668  # builder.ts:26
+
+
+# ---------------------------------------------------------------------------
+# atlas image artifact — a real PNG, written with stdlib zlib only.
+#
+# The reference ships pre-packed 2580² atlases (free-tex-packer output committed
+# under assets/textures/packed/). The source textures are not redistributable
+# here, so the engine renders a deterministic PROCEDURAL texture per frame —
+# the frame layout, padding and UV transforms are the real, verified artifact;
+# swapping procedural fills for decoded source images is a one-function change
+# (the `_frame_pattern` hook).
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def write_png(path: str, rgba) -> None:
+    """HxWx4 uint8 array → valid RGBA PNG (bit depth 8, filter 0 scanlines)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(rgba, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def _frame_pattern(texture_id: int, h: int, w: int):
+    """Deterministic procedural fill for one frame: id-seeded base color with an
+    id-dependent stripe/checker modulation (visually distinct, reproducible)."""
+    import numpy as np
+
+    seed = (texture_id * 2654435761) & 0xFFFFFFFF
+    r, g, b = 64 + seed % 160, 64 + (seed >> 8) % 160, 64 + (seed >> 16) % 160
+    yy, xx = np.mgrid[0:h, 0:w]
+    period = 16 + (texture_id % 4) * 16
+    if texture_id % 2:
+        mod = ((xx // period + yy // period) % 2) * 24
+    else:
+        mod = ((xx + yy) // period % 2) * 24
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[..., 0] = np.clip(r + mod, 0, 255)
+    out[..., 1] = np.clip(g + mod, 0, 255)
+    out[..., 2] = np.clip(b + mod, 0, 255)
+    out[..., 3] = 255
+    return out
+
+
+def render_atlas(atlas_size: int = 2580, tile_size: int = 512):
+    """All FRAME_XY frames rendered into one RGBA atlas array (background
+    transparent black, frames at their packed pixel origins)."""
+    import numpy as np
+
+    img = np.zeros((atlas_size, atlas_size, 4), dtype=np.uint8)
+    for tid, (fx, fy) in FRAME_XY.items():
+        img[fy : fy + tile_size, fx : fx + tile_size] = _frame_pattern(
+            tid, tile_size, tile_size
+        )
+    return img
+
+
+def write_atlas_png(path: str, atlas_size: int = 2580, tile_size: int = 512) -> str:
+    """Render + write the packed diffuse atlas PNG; returns the path."""
+    write_png(path, render_atlas(atlas_size, tile_size))
+    return path

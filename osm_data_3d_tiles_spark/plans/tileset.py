@@ -149,25 +149,84 @@ def region_tileset_content(tile_coord, extent, parent) -> dict:
     }
 
 
+def _bounding_volume_lambert_box(extent) -> dict:
+    """customBox.ts:84-105 — box from the EPSG:2154-transformed extent; note
+    the reference centers the box at (w/2, h/2, zmax/2), not at the origin."""
+    from ..functions import lambert
+
+    min_x, min_y, max_x, max_y = lambert.transform_extent_to_lambert93(extent)
+    w, h = max_x - min_x, max_y - min_y
+    cz = hz = TILE_HEIGHT * 0.5
+    return {
+        "boundingVolume": {
+            "box": [w * 0.5, h * 0.5, cz, w * 0.5, 0, 0, 0, h * 0.5, 0, 0, 0, hz]
+        }
+    }
+
+
+def custombox_tileset_root(extent) -> dict:
+    """createCustomBoxTilesetRoot (customBox.ts:20-38): translation-only root at
+    the center of the EPSG:2154-transformed extent."""
+    from ..functions import lambert
+
+    min_x, min_y, max_x, max_y = lambert.transform_extent_to_lambert93(extent)
+    cx, cy = (min_x + max_x) * 0.5, (min_y + max_y) * 0.5
+    content = {
+        "geometricError": GEOMETRIC_ERROR,
+        "refine": "ADD",
+        "children": [],
+        "transform": _mat4_translation(cx, cy, 0.0),
+        **_bounding_volume_lambert_box(extent),
+    }
+    return {"center": (cx, cy, 0.0), "content": content}
+
+
+def custombox_tileset_content(tile_coord, extent, parent) -> dict:
+    """createCustomBoxTilesetContent (customBox.ts:40-81): child translation =
+    projected tile center minus root center (root rotation is identity, so
+    local == world delta), rotation block = the 3857→2154 finite-difference
+    Jacobian with e_z preserved."""
+    from ..functions import lambert
+
+    z, x, y = tile_coord
+    x0 = (extent[0] + extent[2]) * 0.5
+    y0 = (extent[1] + extent[3]) * 0.5
+    p0, vx, vy = lambert.jacobian_3857_to_lambert93(x0, y0)
+    dx, dy, dz = p0[0] - parent["center"][0], p0[1] - parent["center"][1], 0.0
+    elements = [
+        vx[0], vx[1], 0.0, 0.0,
+        vy[0], vy[1], 0.0, 0.0,
+        0.0, 0.0, 1.0, 0.0,
+        dx, dy, dz, 1.0,
+    ]
+    return {
+        "geometricError": GEOMETRIC_ERROR,
+        "refine": "ADD",
+        "content": {"uri": f"{z}_{x}_{y}.b3dm"},
+        "transform": elements,
+        **_bounding_volume_lambert_box(extent),
+    }
+
+
+_MODE_BUILDERS = {
+    "mercator": (box_tileset_root, lambda coord, ext, root: box_tileset_content(coord, ext, root["center"])),
+    "ecef": (region_tileset_root, region_tileset_content),
+    "region": (region_tileset_root, region_tileset_content),  # alias
+    "custombox": (custombox_tileset_root, custombox_tileset_content),
+}
+
+
 def build_subtile_json(extent, mode: str = "mercator") -> dict:
-    if mode == "mercator":
-        root = box_tileset_root(extent)
-        for coord in m.for_each_tile_coord(extent, m.Z_LEAF):
-            root["content"]["children"].append(
-                box_tileset_content(coord, m.tile_extent(*coord), root["center"])
-            )
-    else:
-        root = region_tileset_root(extent)
-        for coord in m.for_each_tile_coord(extent, m.Z_LEAF):
-            root["content"]["children"].append(
-                region_tileset_content(coord, m.tile_extent(*coord), root)
-            )
+    root_fn, child_fn = _MODE_BUILDERS[mode]
+    root = root_fn(extent)
+    for coord in m.for_each_tile_coord(extent, m.Z_LEAF):
+        root["content"]["children"].append(child_fn(coord, m.tile_extent(*coord), root))
     return {"asset": {"version": "1.0"}, "geometricError": GEOMETRIC_ERROR, "root": root["content"]}
 
 
 def build_root_tileset(extent, mode: str = "mercator", subtiles_path: str = "subtiles/") -> tuple[dict, dict[str, dict]]:
     """Returns (root tileset json, {subtile filename: subtile json})."""
-    root = box_tileset_root(extent) if mode == "mercator" else region_tileset_root(extent)
+    root = _MODE_BUILDERS[mode][0](extent)
     root["content"]["transform"] = _identity16()  # generate-tileset.ts:31 overwrite
     tileset = {
         "asset": {"version": "1.0"},

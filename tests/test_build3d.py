@@ -96,6 +96,47 @@ class TestAtlas:
             off_x, off_y, sc_x, sc_y = atlas_transform_for_texture(tid)
             assert 0 <= off_x <= 1 and 0 <= off_y <= 1 and sc_x > 0 and sc_y > 0
 
+    def test_atlas_png_artifact(self, tmp_path):
+        """write_atlas_png emits a valid PNG: parse IHDR/IDAT with stdlib,
+        reconstruct pixels, check a frame center is opaque and the inter-frame
+        padding is background."""
+        import struct
+        import zlib
+
+        from osm_data_3d_tiles_spark.functions.atlas import (
+            FRAME_XY,
+            _frame_pattern,
+            write_atlas_png,
+        )
+
+        size = 2580
+        path = str(tmp_path / "diffuse.png")
+        write_atlas_png(path)
+        data = open(path, "rb").read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert data[12:16] == b"IHDR"
+        w, h, depth, ctype = struct.unpack(">IIBB", data[16:26])
+        assert (w, h, depth, ctype) == (size, size, 8, 6)
+        # walk chunks, collect IDAT
+        idat, i = b"", 8
+        while i < len(data):
+            ln = struct.unpack(">I", data[i : i + 4])[0]
+            tag = data[i + 4 : i + 8]
+            if tag == b"IDAT":
+                idat += data[i + 8 : i + 8 + ln]
+            i += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = 1 + size * 4
+        assert len(raw) == stride * size
+        fx, fy = FRAME_XY[1]
+        cy, cx = fy + 256, fx + 256
+        assert raw[cy * stride] == 0  # filter byte 0 per scanline
+        px = raw[cy * stride + 1 + cx * 4 : cy * stride + 1 + cx * 4 + 4]
+        want = _frame_pattern(1, 512, 512)[256, 256]
+        assert list(px) == list(want)
+        pad = raw[0 * stride + 1 : 0 * stride + 5]  # (0,0) is padding background
+        assert list(pad) == [0, 0, 0, 0]
+
 
 # ---------------------------------------------------------------------------
 # roof kernels

@@ -86,6 +86,86 @@ class TestSubtileRegion:
         assert t[10] == 1.0
 
 
+class TestLambert93:
+    def test_false_origin(self):
+        """The projection origin (lon0=3, lat0=46.5) maps exactly to the false
+        origin (700000, 6600000) — a defining property of EPSG:2154."""
+        from osm_data_3d_tiles_spark.functions import lambert
+
+        e, n = lambert.lonlat_to_lambert93(3.0, 46.5)
+        assert float(e) == pytest.approx(700000.0, abs=1e-6)
+        assert float(n) == pytest.approx(6600000.0, abs=1e-6)
+
+    def test_unit_scale_on_standard_parallels(self):
+        """LCC-2SP is true-to-scale on both standard parallels: projected
+        distance along lat 49 and lat 44 equals the ellipsoidal parallel arc."""
+        from osm_data_3d_tiles_spark.functions import lambert
+
+        for lat in (49.0, 44.0):
+            dlon = 0.001
+            e1, n1 = lambert.lonlat_to_lambert93(3.0, lat)
+            e2, n2 = lambert.lonlat_to_lambert93(3.0 + dlon, lat)
+            proj_d = math.hypot(float(e2 - e1), float(n2 - n1))
+            phi = math.radians(lat)
+            nu = lambert.A / math.sqrt(1 - lambert.E2 * math.sin(phi) ** 2)
+            arc = nu * math.cos(phi) * math.radians(dlon)
+            assert proj_d == pytest.approx(arc, rel=1e-9)
+
+    def test_north_increases_with_latitude(self):
+        from osm_data_3d_tiles_spark.functions import lambert
+
+        _, n1 = lambert.lonlat_to_lambert93(4.8, 45.0)
+        _, n2 = lambert.lonlat_to_lambert93(4.8, 46.0)
+        assert float(n2) > float(n1)
+
+
+class TestSubtileCustomBox:
+    def test_structure_and_volume(self):
+        from osm_data_3d_tiles_spark.functions import lambert
+
+        sub = ts.build_subtile_json(FIXTURE_EXTENT, "custombox")
+        assert len(sub["root"]["children"]) == 256
+        box = sub["root"]["boundingVolume"]["box"]
+        min_x, min_y, max_x, max_y = lambert.transform_extent_to_lambert93(FIXTURE_EXTENT)
+        w, h = max_x - min_x, max_y - min_y
+        # customBox.ts:84-105 centers the box at (w/2, h/2, zmax/2)
+        assert box[0] == pytest.approx(w / 2) and box[1] == pytest.approx(h / 2)
+        assert box[3] == pytest.approx(w / 2) and box[7] == pytest.approx(h / 2)
+        assert box[2] == 150.0 and box[11] == 150.0
+
+    def test_root_is_translation_to_projected_center(self):
+        from osm_data_3d_tiles_spark.functions import lambert
+
+        root = ts.custombox_tileset_root(FIXTURE_EXTENT)
+        t = root["content"]["transform"]
+        min_x, min_y, max_x, max_y = lambert.transform_extent_to_lambert93(FIXTURE_EXTENT)
+        assert t[12] == pytest.approx((min_x + max_x) / 2)
+        assert t[13] == pytest.approx((min_y + max_y) / 2)
+        assert t[:12] == [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]
+
+    def test_child_jacobian_and_delta(self):
+        from osm_data_3d_tiles_spark.functions import lambert
+
+        sub = ts.build_subtile_json(FIXTURE_EXTENT, "custombox")
+        child = sub["root"]["children"][0]
+        t = child["transform"]
+        coord = m.for_each_tile_coord(FIXTURE_EXTENT, 16)[0]
+        ext = m.tile_extent(*coord)
+        p0, vx, vy = lambert.jacobian_3857_to_lambert93(
+            (ext[0] + ext[2]) / 2, (ext[1] + ext[3]) / 2
+        )
+        assert t[0] == pytest.approx(vx[0]) and t[1] == pytest.approx(vx[1])
+        assert t[4] == pytest.approx(vy[0]) and t[5] == pytest.approx(vy[1])
+        assert t[10] == 1.0
+        # mercator stretch undone: the Jacobian's x column has length ≈ cos(lat)
+        assert math.hypot(t[0], t[1]) == pytest.approx(
+            math.cos(math.radians(45.75)), rel=5e-3
+        )
+        root = ts.custombox_tileset_root(FIXTURE_EXTENT)
+        assert t[12] == pytest.approx(p0[0] - root["center"][0])
+        assert t[13] == pytest.approx(p0[1] - root["center"][1])
+
+
 class TestRootTileset:
     def test_root_structure_and_identity_transform(self, tmp_path):
         tileset, subtiles = ts.build_root_tileset(FIXTURE_EXTENT, "mercator")
