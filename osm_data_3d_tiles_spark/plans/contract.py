@@ -748,20 +748,26 @@ def build_webtext_queries() -> dict:
     )
 
     def langid(spark, sf_dir):
-        # explode + codegen'd isin + groupBy, NOT higher-order-function lambdas:
-        # HOF filter() is interpreted (no whole-stage codegen) and the 4-way vote
-        # CASE would evaluate it ~14×; this shape is one shuffle on doc_id with
-        # map-side partial aggregation.
+        # ZERO-SHUFFLE shape: per-row higher-order `filter` vote counts, no
+        # explode. Bench-off at sf0.1/local[32] (round 2): explode+partial-agg
+        # and this HOF shape are equal warm (~0.42 s vs ~0.40 s), but the
+        # explode materializes ~500× the fact rows through a hash aggregate —
+        # the stage that degraded worst under host memory-bandwidth contention
+        # (22-31 s spikes) and the one a 100 TB corpus cannot afford. The
+        # interpreted-HOF overhead the explode shape was originally chosen to
+        # avoid measures as noise at both scales.
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         toks = F.split(F.lower(F.col("text")), " ", -1)
-        ex = docs.select("doc_id", F.explode_outer(toks).alias("tok"))
-        votes = ex.groupBy("doc_id").agg(
-            F.sum(F.when(F.col("tok").isin(_STOP_EN_L), 1).otherwise(0)).alias("v_en"),
-            F.sum(F.when(F.col("tok").isin(_STOP_FR_L), 1).otherwise(0)).alias("v_fr"),
-            F.sum(F.when(F.col("tok").isin(_STOP_DE_L), 1).otherwise(0)).alias("v_de"),
-            F.sum(F.when(F.col("tok").isin(_STOP_ES_L), 1).otherwise(0)).alias("v_es"),
-        )
-        v = {k: F.col(f"v_{k}") for k in ("en", "fr", "de", "es")}
+
+        def votes(stops):
+            return F.size(F.filter(toks, lambda t: t.isin(stops)))
+
+        v = {
+            "en": votes(_STOP_EN_L),
+            "fr": votes(_STOP_FR_L),
+            "de": votes(_STOP_DE_L),
+            "es": votes(_STOP_ES_L),
+        }
         # argmax with tie order en > fr > de > es; all-zero → 'und'
         pred = (
             F.when(
@@ -773,7 +779,7 @@ def build_webtext_queries() -> dict:
             .when(v["es"] > 0, F.lit("es"))
             .otherwise(F.lit("und"))
         )
-        return votes.select("doc_id", pred.alias("predicted_lang"))
+        return docs.select("doc_id", pred.alias("predicted_lang"))
 
     def _votes_sql(stops: str) -> str:
         return f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({stops})))"
@@ -1166,6 +1172,29 @@ def build_rows_only_queries() -> dict:
         )
 
     q["multimodal_features"] = multimodal
+
+    def mvt_ingest(spark, sf_dir):
+        """Checked-in .pbf fixture tile → buildings rows (sources/mvt.py); the
+        wire format has no SQL oracle, so correctness rides the round-trip +
+        flagship-join pytests (tests/test_mvt.py)."""
+        import os
+
+        from ..sources.mvt import mvt_tiles_to_buildings, read_pbf_dir
+
+        fixture = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "tests", "fixtures", "mvt",
+        )
+        tiles = read_pbf_dir(spark, fixture)
+        out = mvt_tiles_to_buildings(tiles, layer="buildings")
+        return out.select(
+            "osm_id", "layer", "tile_x", "tile_y",
+            F.size("geometry").alias("n_rings"),
+            F.array_join("ring_types", ",").alias("ring_types"),
+            "height", "levels",
+        )
+
+    q["mvt_ingest"] = mvt_ingest
 
     def build3d_tiles(spark, sf_dir):
         from ..functions.params import with_building_params
