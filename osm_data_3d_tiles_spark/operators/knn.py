@@ -101,7 +101,24 @@ def knn_kring(
         .withColumn("tile_y", m.tile_y_col(F.col("cy"), z))
         .persist()
     )
-    idx.count()
+    # density-derived starting radius: size the first disc so an average-density
+    # neighborhood already holds ≥ k_max candidates (×2 safety). Each avoided
+    # round saves ~4 driver-latency-bound jobs — at sandbox scale the loop is
+    # latency-dominated, so one slightly-too-fat first disc beats two rounds.
+    stats = idx.agg(
+        F.count("*").alias("n"),
+        F.min("tile_x").alias("x0"), F.max("tile_x").alias("x1"),
+        F.min("tile_y").alias("y0"), F.max("tile_y").alias("y1"),
+    ).first()
+    k_max = queries.agg(F.max("k")).first()[0] or 1
+    if stats["n"]:
+        area_cells = max(1, (stats["x1"] - stats["x0"] + 1) * (stats["y1"] - stats["y0"] + 1))
+        density = stats["n"] / area_cells
+        import math
+
+        initial_ring = max(
+            initial_ring, min(max_ring, 2 * math.ceil(math.sqrt(k_max / (math.pi * max(density, 1e-12)))))
+        )
 
     remaining = (
         queries.withColumn("qtx", m.tile_x_col(F.col("x"), z))
