@@ -636,6 +636,44 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def sliding(spark, sf_dir):
+        # batch-equivalent of streaming/events.sliding_counts: window 10m,
+        # hop 5m → every event lands in exactly 2 windows
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        return (
+            ev.groupBy(
+                F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.sum(_scaled("value")).alias("value_sum_c"))
+            .select(
+                F.col("win.start").cast("long").alias("window_start_epoch"),
+                "event_type",
+                "n",
+                "value_sum_c",
+            )
+        )
+
+    q["events_sliding_counts"] = (
+        sliding,
+        """
+        WITH b AS (
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5, event_type,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+            FROM events
+        ),
+        w AS (
+            SELECT b5 AS ws, event_type, v FROM b
+            UNION ALL
+            SELECT b5 - INTERVAL '5 minutes' AS ws, event_type, v FROM b
+        )
+        SELECT CAST(epoch(ws) AS BIGINT) AS window_start_epoch, event_type,
+               COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS value_sum_c
+        FROM w GROUP BY 1, 2
+        """,
+    )
+
     def sessionized(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
             "ts", F.col("ts").cast("timestamp")

@@ -39,6 +39,31 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Sliding (hopping) windowed counts — each event lands in
+    window/slide overlapping windows; same watermark semantics as
+    `tumbling_counts`. Batch-equivalent oracle: a UNION of one tumbling
+    bucketing per hop offset (`events_sliding_counts`)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), window, slide).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "n",
+            "value_sum",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str = "ts",

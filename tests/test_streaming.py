@@ -151,3 +151,55 @@ class TestStreamingOwnership:
             assert rows[0].n == 2 and rows[0].value_sum == 3.0  # first 5-min window
         finally:
             q.stop()
+
+    def test_sliding_counts_streaming(self, spark, tmp_path):
+        """10m/5m hopping windows on a real stream: each event lands in exactly
+        two windows; closed windows emit in append mode after the watermark."""
+        from osm_data_3d_tiles_spark.streaming.events import sliding_counts
+
+        src_dir = str(tmp_path / "events_sl")
+        os.makedirs(src_dir)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def write_events(fname, rows):
+            pq.write_table(
+                pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+                os.path.join(src_dir, fname),
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
+
+        ts = pd.Timestamp("2024-01-01 00:01:00")
+        write_events("b1.parquet", {
+            "ts": [ts, ts + pd.Timedelta(minutes=6)],
+            "event_type": ["a", "a"],
+            "value": [1.0, 2.0],
+        })
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(src_dir)
+        q = (
+            sliding_counts(stream)
+            .writeStream.format("memory")
+            .queryName("sliding_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sl"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_events("b2.parquet", {
+                "ts": [ts + pd.Timedelta(hours=1)], "event_type": ["a"], "value": [0.0],
+            })
+            q.processAllAvailable()
+            rows = {
+                r.window_start.strftime("%H:%M"): (r.n, r.value_sum)
+                for r in spark.sql("select * from sliding_test").collect()
+                if r.window_start < pd.Timestamp("2024-01-01 00:30:00")
+            }
+            # event@00:01 → windows 23:55 & 00:00; event@00:07 → 00:00 & 00:05
+            assert rows["23:55"] == (1, 1.0)
+            assert rows["00:00"] == (2, 3.0)
+            assert rows["00:05"] == (1, 2.0)
+        finally:
+            q.stop()
