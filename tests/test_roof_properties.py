@@ -67,6 +67,28 @@ class TestRoofProperties:
         assert pos[:, 2].min() >= 10.0 - 1e-6
         assert pos[:, 2].max() <= 14.0 + 1e-6
 
+    @settings(max_examples=40, deadline=None)
+    @given(seed=st.integers(0, 10_000))
+    def test_skeleton_star_no_silent_wrong_tiling(self, seed):
+        """Adversarial random stars: a success must tile the footprint exactly
+        (the area-conservation gate), a failure must be a clean None — never a
+        wrong tiling."""
+        rng = np.random.RandomState(seed)
+        k = rng.randint(5, 20)
+        ang = np.sort(rng.rand(k) * 2 * np.pi)
+        if np.min(np.diff(ang)) < 1e-3:
+            ang = ang + np.linspace(0, 1e-2, k)
+        rad = 5 + 45 * rng.rand(k)
+        ring = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
+        faces = straight_skeleton(ring)
+        if faces is None:
+            return  # flat fallback — acceptable class
+        total = 0.0
+        for face in faces:
+            xy = np.array([(v[0], v[1]) for v in face])
+            total += shoelace(np.vstack([xy, xy[:1]]))
+        assert total == pytest.approx(shoelace(ring), rel=1e-5)
+
     @settings(max_examples=30, deadline=None)
     @given(seed=st.integers(0, 10_000), k=st.integers(4, 16))
     def test_skeleton_tiles_convex_polygon(self, seed, k):
