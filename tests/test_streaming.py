@@ -152,6 +152,66 @@ class TestStreamingOwnership:
         finally:
             q.stop()
 
+    def test_sessionize_streaming_matches_batch_window(self, spark, tmp_path):
+        """session_window on a real stream produces the same sessions as the
+        batch lag/cumsum formulation (contract events_sessionize) for gaps
+        strictly inside/outside the threshold. (Exactly-at-gap events are a
+        known semantic edge: session_window closes at prev+gap, the batch
+        formulation keeps `diff == gap` in-session — avoided here.)"""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm_data_3d_tiles_spark.streaming.events import sessionize
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        rows = {
+            "ts": [base, base + pd.Timedelta(minutes=10),          # session 1 (u1)
+                   base + pd.Timedelta(minutes=50),                # session 2 (u1)
+                   base, base + pd.Timedelta(minutes=29)],         # session 1 (u2)
+            "user_id": [1, 1, 1, 2, 2],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+        src_dir = str(tmp_path / "sess_events")
+        os.makedirs(src_dir)
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+            os.path.join(src_dir, "b1.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        stream = spark.readStream.schema("ts timestamp, user_id long, value double").parquet(src_dir)
+        q = (
+            sessionize(stream)
+            .writeStream.format("memory").queryName("sess_parity")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # close all sessions past the watermark
+            pq.write_table(
+                pa.Table.from_pandas(
+                    pd.DataFrame({"ts": [base + pd.Timedelta(hours=3)],
+                                  "user_id": [9], "value": [0.0]}),
+                    preserve_index=False),
+                os.path.join(src_dir, "b2.parquet"),
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
+            q.processAllAvailable()
+            got = {
+                (r.user_id, r.session_start): r.n_events
+                for r in spark.sql("select * from sess_parity").collect()
+                if r.user_id in (1, 2)
+            }
+            want = {
+                (1, base): 2,
+                (1, base + pd.Timedelta(minutes=50)): 1,
+                (2, base): 2,
+            }
+            assert got == want
+        finally:
+            q.stop()
+
     def test_sliding_counts_streaming(self, spark, tmp_path):
         """10m/5m hopping windows on a real stream: each event lands in exactly
         two windows; closed windows emit in append mode after the watermark."""
