@@ -91,6 +91,29 @@ def cmd_flagship(args) -> int:
     return 0
 
 
+def cmd_ingest_mvt(args) -> int:
+    """Decode a {z}/{x}/{y}.pbf tree (the reference's TILE_URL layout) into a
+    buildings parquet table ready for the flagship join / seed path."""
+    from .sources.mvt import mvt_tiles_to_buildings, read_pbf_dir
+
+    spark = _spark(args)
+    tiles = read_pbf_dir(spark, args.src)
+    out = mvt_tiles_to_buildings(tiles, layer=args.layer)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"buildings_written": n, "out": args.out}))
+    return 0
+
+
+def cmd_atlas(args) -> int:
+    """Write the packed diffuse texture atlas PNG (procedural frames)."""
+    from .functions.atlas import write_atlas_png
+
+    path = write_atlas_png(args.out)
+    print(json.dumps({"atlas": path, "bytes": os.path.getsize(path)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="osm-data-3d-tiles-spark")
     p.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -114,6 +137,16 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--sf", type=float, default=0.001)
     f.add_argument("--workdir", required=True)
     f.set_defaults(fn=cmd_flagship)
+
+    i = sub.add_parser("ingest-mvt", help="decode {z}/{x}/{y}.pbf tiles → buildings parquet")
+    i.add_argument("--src", required=True)
+    i.add_argument("--out", required=True)
+    i.add_argument("--layer", default="buildings")
+    i.set_defaults(fn=cmd_ingest_mvt)
+
+    a = sub.add_parser("atlas", help="write the packed diffuse atlas PNG")
+    a.add_argument("--out", required=True)
+    a.set_defaults(fn=cmd_atlas)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -31,6 +31,35 @@ def test_generate_tileset_ecef(tmp_path, capsys):
     assert "region" in root["root"]["boundingVolume"]
 
 
+def test_generate_tileset_custombox(tmp_path, capsys):
+    rc = main(["generate-tileset", "--out", str(tmp_path), "--mode", "custombox"])
+    assert rc == 0
+    with open(tmp_path / "tileset.json") as f:
+        root = json.load(f)
+    assert "box" in root["root"]["boundingVolume"]
+
+
+def test_atlas_command(tmp_path, capsys):
+    out_png = str(tmp_path / "diffuse.png")
+    rc = main(["atlas", "--out", out_png])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["bytes"] > 1000
+    with open(out_png, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_ingest_mvt_command(spark, tmp_path, capsys):
+    fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "mvt")
+    out_dir = str(tmp_path / "buildings_parquet")
+    rc = main(["ingest-mvt", "--src", fixture, "--out", out_dir])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["buildings_written"] == 2
+    got = spark.read.parquet(out_dir)
+    assert sorted(r.osm_id for r in got.select("osm_id").collect()) == [900001, 900002]
+
+
 def test_missing_subcommand_errors():
     with pytest.raises(SystemExit):
         main([])
