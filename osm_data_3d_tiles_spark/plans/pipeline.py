@@ -183,18 +183,26 @@ def run_with_checkpoints(
     mdir = os.path.join(workdir, "metrics")
     blds = buildings.filter(F.col("layer") == "buildings")
 
+    from ..operators.cells import building_cells_multi
+
     points = checkpoint(
         lambda: geotagged_points(pages).select("url", "x", "y"),
         spark, os.path.join(workdir, "points"), "extract", mdir,
     )
-    cells = checkpoint(
-        lambda: building_cells(blds), spark, os.path.join(workdir, "cells"), "cells", mdir
+    # one triangulate+rasterize pass covers BOTH cell levels (same sharing as
+    # flagship()): z16 drives ownership, z20 is the PIP-join prefilter
+    multi = checkpoint(
+        lambda: building_cells_multi(blds, (m.Z_LEAF, 20)),
+        spark, os.path.join(workdir, "cells"), "cells", mdir,
     )
+    cells = multi.filter(F.col("z") == m.Z_LEAF).select("osm_id", "tile_x", "tile_y")
+    join_cells = multi.filter(F.col("z") == 20).select("osm_id", "tile_x", "tile_y")
     owners = checkpoint(
         lambda: owner_tiles(cells), spark, os.path.join(workdir, "owners"), "owners", mdir
     )
     join_rows = checkpoint(
-        lambda: spatial_join(points, blds), spark, os.path.join(workdir, "join_rows"), "join", mdir
+        lambda: spatial_join(points, blds, precomputed_cells=join_cells),
+        spark, os.path.join(workdir, "join_rows"), "join", mdir,
     )
     counts = checkpoint(
         lambda: join_rows.join(owners.select("osm_id", "tile_key"), "osm_id")
