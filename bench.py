@@ -43,10 +43,12 @@ HEADLINE = [
     "height_params",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "ann_topk",
     "lang_id",
     "agg_pricing_summary",
     "events_tumbling_counts",
+    "events_sliding_counts",
 ]
 
 
