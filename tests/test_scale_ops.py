@@ -34,7 +34,36 @@ class TestSaltedCount:
         assert plan.count("Aggregate") >= 2
 
 
-class TestLineage:
+class TestHotCellJoin:
+    def test_pip_join_survives_single_hot_cell(self, spark):
+        """Dense-city skew, worst case: EVERY point in one z20 cell over one
+        building. The broadcast cell-prefilter join has no reduce side to skew
+        (candidates stream through map tasks), so this completes with exact
+        results at any point count — the property the 100 TB story rests on."""
+        import numpy as np
+
+        from osm_data_3d_tiles_spark.functions import mercator as m
+        from osm_data_3d_tiles_spark.operators.spatial_join import spatial_join
+
+        span = m.tile_span(20)
+        x0 = -m.HALF_SIZE + 512_000 * span  # an arbitrary z20 cell
+        y0 = m.HALF_SIZE - 512_000 * span
+        ring = [[x0 + 1, y0 - 1], [x0 + span - 1, y0 - 1],
+                [x0 + span - 1, y0 - span + 1], [x0 + 1, y0 - span + 1], [x0 + 1, y0 - 1]]
+        blds = spark.createDataFrame(
+            [(1, [ring], ["outer"])],
+            "osm_id long, geometry array<array<array<double>>>, ring_types array<string>",
+        )
+        n = 20_000
+        rng = np.random.RandomState(3)
+        px = x0 + 2 + (span - 4) * rng.rand(n)
+        py = y0 - 2 - (span - 4) * rng.rand(n)
+        pts = spark.createDataFrame(
+            [(f"u{i}", float(px[i]), float(py[i])) for i in range(n)],
+            "url string, x double, y double",
+        )
+        out = spatial_join(pts, blds)
+        assert out.count() == n  # every point inside, none dropped, no OOM/skew stall
     def test_rows_sum_to_count(self, spark):
         df = spark.range(1234).repartition(7)
         lin = partition_lineage(df, "probe").collect()
