@@ -99,7 +99,10 @@ def minhash_lsh_pairs(
     pairing. A bucket that hot is mass-duplicated boilerplate (its pairs are
     O(n²)); run `exact_dedup` first so literal duplicates never reach LSH, then
     the cap only ever removes near-identical template floods. None disables."""
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm)
+    # persisted: the signature stage (the dominant Python CPU cost) feeds three
+    # plan branches — banding plus one verify join per pair side — and would
+    # otherwise recompute per branch
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm).persist()
 
     band_schema = T.StructType(
         [
@@ -202,9 +205,10 @@ def simhash_pairs_from_signatures(
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
 
     def _block(i: int) -> F.Column:
-        return F.shiftrightunsigned(F.col(sim_col), offsets[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1)
-        )
+        shifted = F.shiftrightunsigned(F.col(sim_col), offsets[i])
+        if widths[i] >= 64:  # n_blocks=1 (max_hamming=0): the full-width mask
+            return shifted   # literal (1<<64)-1 overflows LongType — and is a no-op
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1))
 
     # key = stable hash of the combo's block values; hash collisions only add
     # candidates (killed by the exact Hamming verify), never lose recall
@@ -334,7 +338,6 @@ def ngram_jaccard_exact(
     intersection is then counted by re-joining the candidates' full gram sets
     (bounded by the candidate count, not by gram frequency).
     """
-    t = threshold_num / threshold_den
     words = F.split(F.col(text_col), " ", -1)
     # guard: Spark sequence(1, k) with k < 1 yields a DESCENDING sequence
     grams_arr = F.when(
@@ -354,11 +357,17 @@ def ngram_jaccard_exact(
 
     df_counts = grams.groupBy("g").agg(F.count("*").alias("df"))
     pos = F.row_number().over(Window.partitionBy("id").orderBy("df", "g"))
+    # required overlap ⌈sz·num/den⌉ in INTEGER math: float t makes sz*t land an
+    # ulp above an exact multiple (e.g. 77·9/11 → 63.000000000000014), F.ceil
+    # then overshoots by one and the prefix silently drops an at-threshold pair
+    required = F.floor(
+        (F.col("sz") * F.lit(threshold_num) + F.lit(threshold_den - 1)) / F.lit(threshold_den)
+    )
     prefix = (
         grams.join(df_counts, "g")
         .join(sizes, "id")
         .withColumn("_pos", pos)
-        .filter(F.col("_pos") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1)
+        .filter(F.col("_pos") <= F.col("sz") - required + 1)
         .select("id", "g")
     )
     cand = (
@@ -421,17 +430,14 @@ def embedding_neardup_pairs(
         ]
     )
 
-    def _norm(pdf: pd.DataFrame) -> np.ndarray:
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        return mat / norms
-
     def _units(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            unit = _norm(pdf)
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = mat / norms
             yield pd.DataFrame({id_col: pdf[id_col], "unit": [u.tolist() for u in unit]})
 
     def _buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -440,7 +446,7 @@ def embedding_neardup_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            unit = _norm(pdf)
+            unit = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["unit"]])
             if planes is None:
                 rng = np.random.RandomState(seed)
                 planes = rng.randn(unit.shape[1], n_tables * bits_per_table)
@@ -455,9 +461,11 @@ def embedding_neardup_pairs(
 
     from ..session import with_min_parallelism
 
+    # normalize ONCE: units is persisted and feeds bucketing plus both verify
+    # joins (otherwise the embedding scan + normalization runs up to 4x)
     src = with_min_parallelism(embeddings.select(id_col, vec_col))
-    units = src.mapInPandas(_units, schema=unit_schema)
-    bucketed = src.mapInPandas(_buckets, schema=bucket_schema)
+    units = src.mapInPandas(_units, schema=unit_schema).persist()
+    bucketed = units.mapInPandas(_buckets, schema=bucket_schema)
     left = bucketed.select(F.col(id_col).alias("a"), "table", "bucket")
     right = bucketed.select(F.col(id_col).alias("b"), "table", "bucket")
     pairs = (

@@ -116,8 +116,14 @@ def knn_kring(
         density = stats["n"] / area_cells
         import math
 
+        # clamp at 8: bbox density is a GLOBAL average, and clustered-but-spread
+        # data (two distant cities) drives it to ~0 — unclamped, every query
+        # would open with a (2·max_ring+1)² disc. 8 caps the first disc at 17²
+        # offsets while still skipping the early rounds in the common case;
+        # genuinely empty regions escalate through the normal ×4 loop.
         initial_ring = max(
-            initial_ring, min(max_ring, 2 * math.ceil(math.sqrt(k_max / (math.pi * max(density, 1e-12)))))
+            initial_ring,
+            min(8, max_ring, 2 * math.ceil(math.sqrt(k_max / (math.pi * max(density, 1e-12))))),
         )
 
     remaining = (

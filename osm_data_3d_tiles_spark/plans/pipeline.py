@@ -151,9 +151,14 @@ def flagship(
     owners = owner_tiles(cells)
 
     pts = geotagged_points(pages).select("url", "x", "y")
+    # refine pinned to 'broadcast': the per-extent buildings dimension is
+    # bounded (BASELINE's measured plan is the zero-shuffle path) and 'auto'
+    # would spend an extra count() job on the dimension inside every timed run;
+    # planet-scale callers pass refine='cogroup' (or leave library-default
+    # 'auto') on their own dimensions
     join_rows = spatial_join(
         pts, blds, z=20, page_cols=("url",), building_cols=("osm_id",),
-        precomputed_cells=join_cells,
+        precomputed_cells=join_cells, refine="broadcast",
     )
     assignment = owners.select("osm_id", "tile_key")
     # assignment is one row per building (bounded dimension) — broadcast so the

@@ -151,12 +151,14 @@ def pack_glb(
     bin_bytes = _pad(b"".join(bin_parts), 4, b"\x00")
     total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
     if total % 8:
-        # pad the GLB itself to an 8-byte length (trailing BIN-chunk padding —
-        # buffer.byteLength may be smaller than the chunk) so that inside a
-        # b3dm whose body starts 8-aligned, the tile's total length stays
-        # 8-aligned too
+        # pad the GLB to an 8-byte length so that inside a b3dm whose body
+        # starts 8-aligned the tile's total stays 8-aligned. The slack goes in
+        # the JSON chunk (trailing spaces are legal at any length) — padding
+        # the BIN chunk instead would make it exceed buffer.byteLength by 4,
+        # which glTF 2.0 caps at 3 bytes and strict validators reject
+        # (BUFFER_GLB_CHUNK_TOO_BIG)
         extra = 8 - total % 8
-        bin_bytes += b"\x00" * extra
+        json_bytes += b" " * extra
         total += extra
     out = struct.pack("<III", GLB_MAGIC, 2, total)
     out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes

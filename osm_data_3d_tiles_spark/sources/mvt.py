@@ -110,7 +110,8 @@ def _decode_value(buf: bytes):
         if field == 3:
             return struct.unpack("<d", v)[0]
         if field == 4:
-            return v  # int64 varint
+            # int64: negative values arrive as 10-byte two's-complement varints
+            return v - (1 << 64) if v >= 1 << 63 else v
         if field == 5:
             return v  # uint64
         if field == 6:

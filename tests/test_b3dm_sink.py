@@ -109,6 +109,14 @@ class TestGlbPacking:
         assert (28 + ftj + btj) % 8 == 0     # batchTable JSON end = GLB start
         assert struct.unpack("<I", data[8:12])[0] % 8 == 0  # total tile length
         assert len(data) % 8 == 0
+        # glTF 2.0: the BIN chunk may exceed buffer.byteLength by at most 3
+        # bytes — the GLB 8-alignment slack must live in the JSON chunk
+        glb = out["glb"]
+        jlen = struct.unpack("<I", glb[12:16])[0]
+        import json as _json
+        gltf = _json.loads(glb[20: 20 + jlen])
+        blen = struct.unpack("<I", glb[20 + jlen: 24 + jlen])[0]
+        assert 0 <= blen - gltf["buffers"][0]["byteLength"] <= 3
 
 
 @pytest.fixture(scope="module")

@@ -45,6 +45,15 @@ class TestWireFormat:
         assert feat["props"] == {"osm_id": 42, "height": 9.5, "name": "Hôtel", "windows": True}
         assert feat["paths"] == [[(10, 10), (100, 10), (100, 80), (10, 80), (10, 10)]]
 
+    def test_negative_int64_value_decodes_signed(self):
+        """MVT int_value (field 4): negatives arrive as 10-byte two's-complement
+        varints; decode must sign-extend, not return a huge positive."""
+        from osm_data_3d_tiles_spark.sources.mvt import _decode_value, _field
+
+        raw = _field(4, 0, (-5) & ((1 << 64) - 1))
+        assert _decode_value(raw) == -5
+        assert _decode_value(_field(4, 0, 42)) == 42
+
     def test_zigzag_negative_deltas(self):
         layers = [{
             "name": "l", "extent": 4096,

@@ -164,6 +164,27 @@ class TestNearDedup:
         assert got_pairs <= truth, "exact verify must make precision 1.0"
         assert len(got_pairs & truth) / len(truth) >= 0.9
 
+    def test_ngram_at_threshold_integer_prefix(self, spark):
+        """Pair EXACTLY at threshold (J = 63/77 = 9/11) whose 14 rarest grams
+        of A are its non-shared ones: float-ceil prefix math (77·9/11 →
+        63.000000000000014 → ceil 64) shortens A's prefix by one and silently
+        drops the pair; the integer bound keeps it."""
+        shared = [f"s{i:02d}" for i in range(63)]
+        only_a = [f"zz{i:02d}" for i in range(14)]  # df=1 → sort before shared
+        df = spark.createDataFrame(
+            [(1, " ".join(shared + only_a)), (2, " ".join(shared))],
+            "doc_id long, text string",
+        )
+        out = ngram_jaccard_exact(df, n=1, threshold_num=9, threshold_den=11).toPandas()
+        assert set(zip(out["a"], out["b"])) == {(1, 2)}
+
+    def test_simhash_zero_hamming_exact_match(self, spark):
+        sims = spark.createDataFrame(
+            [(1, 12345), (2, 12345), (3, 54321)], "doc_id long, simhash long"
+        )
+        out = simhash_pairs_from_signatures(sims, max_hamming=0).toPandas()
+        assert set(zip(out["a"], out["b"])) == {(1, 2)}
+
     def test_ngram_hot_gram_skew(self, spark):
         """One trigram shared by every doc: the df-ascending prefix filter must
         keep it out of the candidate join while preserving the exact result."""
