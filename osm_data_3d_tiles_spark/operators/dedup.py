@@ -355,6 +355,9 @@ def ngram_jaccard_exact(
 
     from pyspark.sql import Window
 
+    # hash aggregates + join-back deliberately beat count-over-window here: a
+    # window over 10⁶ near-singleton `g` groups is sort-based and measured 2×
+    # slower than the agg+join shape in an interleaved A/B at sf0.1
     df_counts = grams.groupBy("g").agg(F.count("*").alias("df"))
     pos = F.row_number().over(Window.partitionBy("id").orderBy("df", "g"))
     # required overlap ⌈sz·num/den⌉ in INTEGER math: float t makes sz*t land an
