@@ -26,6 +26,32 @@ from pyspark.sql import types as T
 
 from ..functions import text as tx
 
+# Persisted intermediates (signatures, gram indexes, unit vectors) registered
+# here so long-lived sessions can release them: each near-dup operator persists
+# the stage that feeds multiple plan branches, and the cache would otherwise
+# accumulate across repeated calls with no handle exposed to the caller.
+_PERSISTED: list[DataFrame] = []
+
+
+def _register_persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_all(blocking: bool = False) -> int:
+    """Release every intermediate this module has persisted; returns the count.
+    Call between dedup runs in a long-lived session (or `spark.catalog.clearCache`
+    for a blunter hammer)."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -86,7 +112,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash, verified by exact signature
     Jaccard estimate ≥ threshold. Output: (a, b, est_jaccard) with a < b.
@@ -98,32 +124,15 @@ def minhash_lsh_pairs(
     `max_bucket` drops band buckets with more than that many members before
     pairing. A bucket that hot is mass-duplicated boilerplate (its pairs are
     O(n²)); run `exact_dedup` first so literal duplicates never reach LSH, then
-    the cap only ever removes near-identical template floods. None disables."""
-    # persisted: the signature stage (the dominant Python CPU cost) feeds three
-    # plan branches — banding plus one verify join per pair side — and would
-    # otherwise recompute per branch
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm).persist()
+    the cap only ever removes near-identical template floods. Default None (no
+    silent recall cap); opt in at the plan layer, and measure what a cap would
+    drop with `minhash_band_bucket_stats` — same banding, per-bucket sizes."""
+    # persisted (registered for `unpersist_all`): the signature stage (the
+    # dominant Python CPU cost) feeds three plan branches — banding plus one
+    # verify join per pair side — and would otherwise recompute per branch
+    sigs = _register_persist(minhash_signatures(docs, id_col, text_col, num_perm).persist())
 
-    band_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("band", T.IntegerType()),
-            T.StructField("band_hash", T.LongType()),
-        ]
-    )
-
-    def _bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, bd, bh = [], [], []
-            for i, sig in zip(pdf[id_col], pdf["signature"]):
-                hashes = tx.minhash_bands(np.asarray(sig, dtype=np.int64), bands)
-                for b, h in enumerate(hashes):
-                    ids.append(i)
-                    bd.append(b)
-                    bh.append(h)
-            yield pd.DataFrame({id_col: ids, "band": bd, "band_hash": bh})
-
-    banded = sigs.mapInPandas(_bands, schema=band_schema)
+    banded = _banded_rows(sigs, bands, id_col)
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -156,6 +165,56 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
+
+
+def _banded_rows(sigs: DataFrame, bands: int, id_col: str) -> DataFrame:
+    """(id, band, band_hash) rows — the LSH banding shared by the pair join and
+    the bucket-stats diagnostic."""
+    band_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_hash", T.LongType()),
+        ]
+    )
+
+    def _bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bd, bh = [], [], []
+            for i, sig in zip(pdf[id_col], pdf["signature"]):
+                hashes = tx.minhash_bands(np.asarray(sig, dtype=np.int64), bands)
+                for b, h in enumerate(hashes):
+                    ids.append(i)
+                    bd.append(b)
+                    bh.append(h)
+            yield pd.DataFrame({id_col: ids, "band": bd, "band_hash": bh})
+
+    return sigs.mapInPandas(_bands, schema=band_schema)
+
+
+def minhash_band_bucket_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Per-bucket sizes for the exact banding `minhash_lsh_pairs` uses:
+    (band, band_hash, n_members, would_drop). The no-silent-caps companion to
+    the `max_bucket` knob — run it (cheap: one agg over the band rows) to see
+    precisely which buckets a cap would discard and how many members they hold
+    before opting in at the plan layer."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm)
+    stats = (
+        _banded_rows(sigs, bands, id_col)
+        .groupBy("band", "band_hash")
+        .agg(F.count("*").alias("n_members"))
+    )
+    dropped = (
+        F.lit(False) if max_bucket is None else (F.col("n_members") > F.lit(max_bucket))
+    )
+    return stats.withColumn("would_drop", dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -337,6 +396,18 @@ def ngram_jaccard_exact(
     shared by half the corpus never becomes an O(n²) join key. The exact
     intersection is then counted by re-joining the candidates' full gram sets
     (bounded by the candidate count, not by gram frequency).
+
+    Two shuffle-cost choices (the round-2 review's findings):
+    - every join/aggregate keys on `gh = xxhash64(gram)` (8 bytes), never the
+      gram string — the distinct, the df-count, the candidate join and the
+      intersection join all shuffle fixed-width longs. Within-corpus 64-bit
+      collisions (P < |grams|²/2⁶⁴) could merge two grams; at that probability
+      the result is exact for any realizable corpus, and a collision only
+      perturbs a count by 1 at an exact threshold boundary.
+    - the (id, gh) gram index and the per-doc sizes are persisted (registered
+      for `unpersist_all`): they feed 5 plan branches — sizes, df counts, the
+      prefix, and both sides of the intersection join — and were measured
+      recomputing the text-scan→explode→distinct shuffle per branch.
     """
     words = F.split(F.col(text_col), " ", -1)
     # guard: Spark sequence(1, k) with k < 1 yields a DESCENDING sequence
@@ -344,22 +415,25 @@ def ngram_jaccard_exact(
         F.size(words) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        docs.select(F.col(id_col).alias("id"), F.explode(grams_arr).alias("g"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = _register_persist(
+        docs.select(F.col(id_col).alias("id"), F.explode(grams_arr).alias("gh"))
         .distinct()
+        .persist()
     )
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    sizes = _register_persist(
+        grams.groupBy("id").agg(F.count("*").alias("sz")).persist()
+    )
 
     from pyspark.sql import Window
 
     # hash aggregates + join-back deliberately beat count-over-window here: a
-    # window over 10⁶ near-singleton `g` groups is sort-based and measured 2×
+    # window over 10⁶ near-singleton gram groups is sort-based and measured 2×
     # slower than the agg+join shape in an interleaved A/B at sf0.1
-    df_counts = grams.groupBy("g").agg(F.count("*").alias("df"))
-    pos = F.row_number().over(Window.partitionBy("id").orderBy("df", "g"))
+    df_counts = grams.groupBy("gh").agg(F.count("*").alias("df"))
+    pos = F.row_number().over(Window.partitionBy("id").orderBy("df", "gh"))
     # required overlap ⌈sz·num/den⌉ in INTEGER math: float t makes sz*t land an
     # ulp above an exact multiple (e.g. 77·9/11 → 63.000000000000014), F.ceil
     # then overshoots by one and the prefix silently drops an at-threshold pair
@@ -367,22 +441,22 @@ def ngram_jaccard_exact(
         (F.col("sz") * F.lit(threshold_num) + F.lit(threshold_den - 1)) / F.lit(threshold_den)
     )
     prefix = (
-        grams.join(df_counts, "g")
+        grams.join(df_counts, "gh")
         .join(sizes, "id")
         .withColumn("_pos", pos)
         .filter(F.col("_pos") <= F.col("sz") - required + 1)
-        .select("id", "g")
+        .select("id", "gh")
     )
     cand = (
         prefix.withColumnsRenamed({"id": "a"})
-        .join(prefix.withColumnsRenamed({"id": "b"}), "g")
+        .join(prefix.withColumnsRenamed({"id": "b"}), "gh")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
     inter = (
         cand.join(grams.withColumnsRenamed({"id": "a"}), "a")
-        .join(grams.withColumnsRenamed({"id": "b"}), ["b", "g"])
+        .join(grams.withColumnsRenamed({"id": "b"}), ["b", "gh"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
@@ -464,10 +538,11 @@ def embedding_neardup_pairs(
 
     from ..session import with_min_parallelism
 
-    # normalize ONCE: units is persisted and feeds bucketing plus both verify
-    # joins (otherwise the embedding scan + normalization runs up to 4x)
+    # normalize ONCE: units is persisted (registered for `unpersist_all`) and
+    # feeds bucketing plus both verify joins (otherwise the embedding scan +
+    # normalization runs up to 4x)
     src = with_min_parallelism(embeddings.select(id_col, vec_col))
-    units = src.mapInPandas(_units, schema=unit_schema).persist()
+    units = _register_persist(src.mapInPandas(_units, schema=unit_schema).persist())
     bucketed = units.mapInPandas(_buckets, schema=bucket_schema)
     left = bucketed.select(F.col(id_col).alias("a"), "table", "bucket")
     right = bucketed.select(F.col(id_col).alias("b"), "table", "bucket")

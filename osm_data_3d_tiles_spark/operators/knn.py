@@ -59,6 +59,18 @@ def building_centroids(buildings: DataFrame) -> DataFrame:
     return buildings.select("osm_id", "geometry").mapInPandas(_cent, schema=schema)
 
 
+def _complete_pred(r: int, span: float) -> F.Column:
+    """Completion predicate for a ranked candidate: the k-th best distance must be
+    STRICTLY inside the explored disc. Non-strict `<=` is unsound at the boundary:
+    a k-th candidate at exactly r·span can be tied (after fp rounding of dist2) by
+    a centroid in an unexplored ring-(r+1) cell whose smaller osm_id wins the
+    tie-break — the exactness guarantee needs `<`; equality just expands one more
+    ring."""
+    return (F.col("rank") == F.col("k")) & (
+        F.sqrt(F.col("dist2")) < F.lit(float(r) * span)
+    )
+
+
 def _with_dist_rank(cand: DataFrame) -> DataFrame:
     dist2 = (F.col("cx") - F.col("x")) ** 2 + (F.col("cy") - F.col("y")) ** 2
     w = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("osm_id"))
@@ -152,13 +164,11 @@ def knn_kring(
             "query_id", "x", "y", "k", "osm_id", "cx", "cy"
         )
         ranked = _with_dist_rank(cand)
-        # completion: k-th best distance within the explored disc ≤ r·span — every
-        # unexplored cell is at least r·span away, so the top-k is final.
+        # completion: k-th best distance STRICTLY within the explored disc — every
+        # unexplored cell is at least r·span away, so the top-k is final (see
+        # _complete_pred for why the inequality must be strict).
         done_ids = (
-            ranked.filter(
-                (F.col("rank") == F.col("k"))
-                & (F.sqrt(F.col("dist2")) <= F.lit(float(r) * span))
-            )
+            ranked.filter(_complete_pred(r, span))
             .select("query_id")
             .localCheckpoint(eager=True)
         )

@@ -77,6 +77,38 @@ def _deterministic_centroids(mat: np.ndarray, ids: np.ndarray, n_list: int) -> n
     return cents
 
 
+def _assign_lists(base: DataFrame, cents: np.ndarray, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment as ONE narrow Arrow stage: numpy argmax of
+    unit @ centroidsᵀ against a Spark-broadcast centroid matrix. Zero shuffle —
+    the previous shape (crossJoin(broadcast(cent_df)) × row_number window
+    partitioned by vec_id) exchanged n_list× the base table just to pick an
+    argmax, which at 100 TB is the index-build bottleneck. Ties break to the
+    smallest list_id (np.argmax returns the first maximum), matching the old
+    window's (desc sim, asc list_id) order."""
+    spark = base.sparkSession
+    bc_cents = spark.sparkContext.broadcast(np.ascontiguousarray(cents, dtype=np.float64))
+    schema = T.StructType(
+        [
+            base.schema[id_col],
+            T.StructField("unit", T.ArrayType(T.DoubleType())),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = bc_cents.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["unit"]])
+            lids = np.argmax(m @ cm.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "unit": pdf["unit"], "list_id": lids}
+            )
+
+    return base.mapInPandas(_assign, schema=schema)
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -116,17 +148,9 @@ def ann_ivf_topk(
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     cent_df = spark.createDataFrame(cent_rows, ["list_id", "centroid"])
 
-    # assign each vector to its nearest centroid (broadcast centroid table)
-    assigned = (
-        base.crossJoin(F.broadcast(cent_df))
-        .withColumn("sim", _cosine_col(F.col("unit"), F.col("centroid")))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("list_id"))),
-        )
-        .filter(F.col("rn") == 1)
-        .select(id_col, "unit", "list_id")
-    )
+    # assign each vector to its nearest centroid — zero-shuffle Arrow argmax
+    # against the broadcast centroid matrix (see _assign_lists)
+    assigned = _assign_lists(base, cents, id_col)
 
     q = queries.select(
         F.col(query_id_col), _unit_col(F.col(query_vec_col).cast("array<double>")).alias("q_unit")

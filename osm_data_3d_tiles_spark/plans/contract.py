@@ -1163,7 +1163,10 @@ def build_rows_only_queries() -> dict:
 
     def minhash(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return minhash_lsh_pairs(docs, threshold=0.5)
+        # plan-layer opt-in to the hot-bucket cap (operator default is None so
+        # the cap is never silent); `minhash_band_bucket_stats` measures what
+        # a cap of this size would drop on a given corpus
+        return minhash_lsh_pairs(docs, threshold=0.5, max_bucket=10_000)
 
     q["dedup_minhash_lsh"] = minhash
 

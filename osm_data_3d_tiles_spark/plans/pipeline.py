@@ -106,12 +106,25 @@ def _snapshot_done(path: str) -> bool:
 
 
 def checkpoint(
-    df_fn, spark: SparkSession, path: str, stage: str, metrics_dir: str | None = None
+    df_fn,
+    spark: SparkSession,
+    path: str,
+    stage: str,
+    metrics_dir: str | None = None,
+    required_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Materialize stage output as a parquet snapshot once; resume = re-read.
 
     `df_fn` is a thunk so a resumed run never builds (or executes) the upstream
-    plan for completed stages."""
+    plan for completed stages. `required_cols` guards resumes across code
+    versions: a snapshot missing any of them (written by an older stage schema)
+    is rebuilt instead of poisoning downstream plans with AnalysisException."""
+    if _snapshot_done(path) and required_cols:
+        have = set(spark.read.parquet(path).columns)
+        if not set(required_cols) <= have:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
     if not _snapshot_done(path):
         df = df_fn()
         df.write.mode("overwrite").parquet(path)
@@ -196,9 +209,13 @@ def run_with_checkpoints(
     )
     # one triangulate+rasterize pass covers BOTH cell levels (same sharing as
     # flagship()): z16 drives ownership, z20 is the PIP-join prefilter
+    # snapshot name 'cells_multi' (not the pre-multi-level 'cells'): a workdir
+    # checkpointed by the single-level version must rebuild, not resume; the
+    # required_cols guard rebuilds even a same-named stale snapshot
     multi = checkpoint(
         lambda: building_cells_multi(blds, (m.Z_LEAF, 20)),
-        spark, os.path.join(workdir, "cells"), "cells", mdir,
+        spark, os.path.join(workdir, "cells_multi"), "cells", mdir,
+        required_cols=("z", "osm_id", "tile_x", "tile_y"),
     )
     cells = multi.filter(F.col("z") == m.Z_LEAF).select("osm_id", "tile_x", "tile_y")
     join_cells = multi.filter(F.col("z") == 20).select("osm_id", "tile_x", "tile_y")

@@ -299,6 +299,24 @@ def _coerce(name: str, v):
         return None
 
 
+def _coerce_osm_id(v, feature_id):
+    """int64 osm_id from whatever the tile carries: int, numeric string, or
+    'way/123'-style prefixed string (trailing digit run). Falls back to the MVT
+    feature id, else None — one malformed feature never fails the stage."""
+    import re
+
+    for cand in (v, feature_id):
+        if cand is None:
+            continue
+        try:
+            return int(cand)
+        except (TypeError, ValueError):
+            m = re.search(r"(\d+)\s*$", str(cand))
+            if m:
+                return int(m.group(1))
+    return None
+
+
 def mvt_tiles_to_buildings(tiles: DataFrame, layer: str = "buildings") -> DataFrame:
     """tiles(tile_z, tile_x, tile_y, payload:binary) → one buildings row per
     polygon feature of `layer`, geometry in EPSG:3857 rings with outer/inner
@@ -332,8 +350,11 @@ def mvt_tiles_to_buildings(tiles: DataFrame, layer: str = "buildings") -> DataFr
                             "outer" if _ring_area(r) <= 0 else "inner" for r in rings
                         ]
                         osm_id = props.get("osm_id", feat["id"])
+                        # real-world tiles carry string ids like 'way/123' —
+                        # degrade per-feature (digits-suffix, else feature id,
+                        # else null) instead of failing the whole ingest stage
                         row = {
-                            "osm_id": int(osm_id) if osm_id is not None else None,
+                            "osm_id": _coerce_osm_id(osm_id, feat["id"]),
                             "layer": feat_layer,
                             "tile_z": int(z),
                             "tile_x": int(tx),

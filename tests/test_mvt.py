@@ -82,6 +82,17 @@ class TestFixtureTile:
         assert by_id.loc[900002, "levels"] == 3.0
         assert by_id.loc[900001, "roof_type"] == "flat"
 
+    def test_osm_id_coercion_degrades_per_feature(self):
+        from osm_data_3d_tiles_spark.sources.mvt import _coerce_osm_id
+
+        assert _coerce_osm_id(123, 7) == 123
+        assert _coerce_osm_id("123", 7) == 123
+        assert _coerce_osm_id("way/456", 7) == 456  # real-world prefixed id
+        assert _coerce_osm_id("relation/9", None) == 9
+        assert _coerce_osm_id("no-digits", 7) == 7  # fall back to feature id
+        assert _coerce_osm_id(None, 7) == 7
+        assert _coerce_osm_id("no-digits", None) is None
+
     def test_geometry_lands_in_tile_extent(self, mvt_buildings):
         z, tx, ty = 16, 33650, 23378
         span = m.tile_span(z)

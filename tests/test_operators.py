@@ -234,6 +234,34 @@ class TestSimilarity:
         brute = ann_bruteforce_topk(embeddings, q, k=1).toPandas()
         assert (brute["query_id"] == brute["vec_id"]).all()
 
+    def test_ivf_assignment_is_zero_shuffle(self, spark, embeddings):
+        """The nearest-centroid assignment (the whole-table index-build stage)
+        must be one narrow Arrow pass — no Exchange. The previous shape
+        (crossJoin×n_list + row_number window partitioned by vec_id) shuffled
+        16× the base table to pick an argmax."""
+        import numpy as np
+
+        from osm_data_3d_tiles_spark.operators.similarity import (
+            _assign_lists,
+            _unit_col,
+        )
+
+        base = embeddings.select(
+            F.col("vec_id"), _unit_col(F.col("embedding").cast("array<double>")).alias("unit")
+        )
+        rng = np.random.RandomState(0)
+        cents = rng.randn(8, 64)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        assigned = _assign_lists(base, cents, "vec_id")
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        pdf = assigned.toPandas()
+        # every vector assigned, argmax verified against numpy
+        assert len(pdf) == embeddings.count()
+        m = np.vstack([np.asarray(v) for v in pdf["unit"]])
+        want = np.argmax(m @ cents.T, axis=1)
+        assert (pdf["list_id"].to_numpy() == want).all()
+
 
 class TestTextOps:
     def test_lang_id_on_fixture_langs(self, spark):

@@ -172,3 +172,45 @@ class TestKNN:
         key = lambda df: sorted(zip(df["query_id"], df["rank"], df["osm_id"]))
         assert key(brute) == key(kring)
         assert len(brute) > 0
+
+    def test_completion_bound_is_strict(self, spark):
+        # A candidate whose k-th distance is EXACTLY r·span must NOT finalize:
+        # an unexplored ring-(r+1) cell can hold an fp-tied centroid with a
+        # smaller osm_id that the tie-break prefers.
+        from osm_data_3d_tiles_spark.functions import mercator as m
+        from osm_data_3d_tiles_spark.operators.knn import _complete_pred
+
+        span = m.tile_span(16)
+        r = 2
+        rows = [
+            (1, 1, 1, (r * span) ** 2),       # exactly at the bound → incomplete
+            (2, 1, 1, (r * span * 0.999) ** 2),  # strictly inside → complete
+        ]
+        df = spark.createDataFrame(rows, ["query_id", "rank", "k", "dist2"])
+        done = df.filter(_complete_pred(r, span)).toPandas()
+        assert sorted(done["query_id"]) == [2]
+
+    def test_exact_on_cell_boundary_centroids(self, spark):
+        # End-to-end boundary regression: query on an exact cell corner with
+        # centroids placed exactly on ring-boundary distances (the at-bound
+        # geometry the strict inequality protects) still matches brute force.
+        from osm_data_3d_tiles_spark.functions import mercator as m
+        from osm_data_3d_tiles_spark.operators.knn import knn_bruteforce, knn_kring
+
+        span = m.tile_span(16)
+        cents = spark.createDataFrame(
+            [
+                (100, 2 * span, 0.0),           # exactly r·span right, big id
+                (1, -2 * span, 0.0),            # exactly on the left boundary
+                (50, 0.0, 8 * span),            # farther shell
+                (51, 9 * span, 9 * span),
+            ],
+            ["osm_id", "cx", "cy"],
+        )
+        queries = spark.createDataFrame(
+            [(0, 0.0, 0.0, 2), (1, 0.0, 0.0, 4)], ["query_id", "x", "y", "k"]
+        )
+        brute = knn_bruteforce(queries, cents).toPandas()
+        kring = knn_kring(queries, cents, initial_ring=2, max_ring=16).toPandas()
+        key = lambda df: sorted(zip(df["query_id"], df["rank"], df["osm_id"]))
+        assert key(brute) == key(kring)

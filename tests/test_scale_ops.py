@@ -95,6 +95,25 @@ class TestCheckpointResume:
         lineage = spark.read.parquet(str(tmp_path / "m" / "lineage"))
         assert lineage.agg(F.sum("rows")).collect()[0][0] == 50  # written once
 
+    def test_resume_rebuilds_on_stale_schema(self, spark, tmp_path):
+        # a snapshot written by an older stage version (missing a now-required
+        # column) must be rebuilt, not resumed into an AnalysisException
+        path = str(tmp_path / "snap")
+        spark.range(10).select(F.col("id")).write.parquet(path)
+
+        out = checkpoint(
+            lambda: spark.range(5).select(F.col("id"), F.lit(16).alias("z")),
+            spark, path, "stage1", required_cols=("z", "id"),
+        )
+        assert out.count() == 5
+        assert set(out.columns) == {"id", "z"}
+
+        def poisoned():
+            raise AssertionError("schema-valid snapshot must still resume")
+
+        out2 = checkpoint(poisoned, spark, path, "stage1", required_cols=("z", "id"))
+        assert out2.count() == 5
+
     def test_full_pipeline_resume_identical(self, spark, tmp_path):
         pages = fx.load_fixture(spark, "pages", 0.001)
         buildings = fx.load_fixture(spark, "buildings", 0.001)
