@@ -8,7 +8,9 @@
   SQL-expressible query (see osm_data_3d_tiles_spark/plans/contract.py for the
   fp-determinism ground rules). Non-SQL-expressible kernels (MinHash/SimHash
   signatures, IVF ANN, Arrow multimodal plumbing, the html-extraction pipeline)
-  are registered without an oracle → rows-only check.
+  are deterministic, so their oracle is a pinned golden parquet
+  (scripts/make_goldens.py; determinism/regression pin — semantic correctness
+  rides pytest: planted pairs, recall gates, round-trips, component oracles).
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from osm_data_3d_tiles_spark.plans.contract import (  # noqa: E402
+    build_golden_oracles,
     build_queries,
     build_rows_only_queries,
 )
@@ -49,4 +52,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in build_queries().items()}
+    sqls = {name: sql for name, (_fn, sql) in build_queries().items()}
+    sqls.update(build_golden_oracles())
+    return sqls

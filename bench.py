@@ -94,14 +94,19 @@ def warm_up(spark, cores: int) -> None:
     )
 
 
-def run_flagship(spark, sf: float, replicate: int = 1) -> tuple[float, int, int]:
+def run_flagship(
+    spark, sf: float, replicate: int = 1, refine: str = "broadcast"
+) -> tuple[float, int, int]:
     """Returns (seconds, docs_processed, join_rows).
 
     replicate > 1 expands the pages input k-fold *inside Spark* (crossJoin with a
     range, distinct urls) — same deterministic input at every parallelism level,
     generated on executors. The scaling runs use this so the parallel compute
     dominates fixed driver/broadcast overheads (which amortize to nothing at the
-    real 10^12-doc scale but would swamp a 200k-doc measurement)."""
+    real 10^12-doc scale but would swamp a 200k-doc measurement).
+
+    refine='cogroup' measures the planet-scale PIP-refine path (unbounded
+    building dimension, no driver-side geometry broadcast)."""
     from pyspark.sql import functions as F
 
     from osm_data_3d_tiles_spark.plans.pipeline import flagship
@@ -119,7 +124,7 @@ def run_flagship(spark, sf: float, replicate: int = 1) -> tuple[float, int, int]
     n_docs = pages.count()
 
     t0 = time.perf_counter()
-    out = flagship(pages, buildings)
+    out = flagship(pages, buildings, refine=refine)
     joined = out["join_rows"].join(F.broadcast(out["tile_assignment"]), "osm_id")
     n_rows = joined.count()
     secs = time.perf_counter() - t0
@@ -158,6 +163,12 @@ def main() -> None:
         result["flagship_all_secs"] = [round(r[0], 3) for r in runs]
         result["flagship_docs"] = n_docs
         result["flagship_join_rows"] = n_rows
+
+        # the planet-scale refine path gets its own recorded number (regression
+        # guard: must stay within ~2x of the broadcast path at sandbox scale)
+        cg_secs, _, cg_rows = run_flagship(spark, sf, refine="cogroup")
+        result["flagship_cogroup_secs"] = round(cg_secs, 3)
+        result["flagship_cogroup_join_rows"] = cg_rows
 
         for name in HEADLINE:
             if name not in queries:
@@ -229,7 +240,7 @@ def run_scaling(sf: float) -> dict:
 
     repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "128"))
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
-    max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "4"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "6"))
     target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.85"))
     samples: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
 

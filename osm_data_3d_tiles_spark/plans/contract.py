@@ -21,6 +21,8 @@ SQL because the footprints are axis-aligned.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1228,11 +1230,14 @@ def build_rows_only_queries() -> dict:
         )
         tiles = read_pbf_dir(spark, fixture)
         out = mvt_tiles_to_buildings(tiles, layer="buildings")
+        # absent properties surface as -1 sentinels (not NULL/NaN): NaN breaks
+        # value-equality in the golden-oracle compare (NaN != NaN)
         return out.select(
             "osm_id", "layer", "tile_x", "tile_y",
             F.size("geometry").alias("n_rings"),
             F.array_join("ring_types", ",").alias("ring_types"),
-            "height", "levels",
+            F.coalesce("height", F.lit(-1.0)).alias("height"),
+            F.coalesce("levels", F.lit(-1.0)).alias("levels"),
         )
 
     q["mvt_ingest"] = mvt_ingest
@@ -1264,4 +1269,46 @@ def build_rows_only_queries() -> dict:
     q["building_labels"] = labels
 
     return q
+
+
+# ---------------------------------------------------------------------------
+# golden-table oracles for the deterministic rows-only queries
+# ---------------------------------------------------------------------------
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "golden"
+)
+
+# Queries whose kernels have no ANSI-SQL formulation but are fully deterministic
+# (seeded platform-stable hashing, numpy kernels, fixed fixtures). Their oracle
+# is a pinned golden parquet regenerated by scripts/make_goldens.py; rows are
+# tagged with `lineitem_n` (the sf's lineitem row count — the one selector a
+# DuckDB oracle can recover from its pre-registered views) because e.g. the
+# documents table holds 500 rows with DIFFERENT content at sf0.001 and sf0.01.
+# The golden pins determinism + regressions; semantic correctness rides pytest
+# (planted-pair dedup tests, IVF recall gates, MVT round-trip, component oracles).
+GOLDEN_ORACLE_QUERIES = [
+    "flagship_pages_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_topk",
+    "lang_id_ngram",
+    "quality_features",
+    "multimodal_features",
+    "mvt_ingest",
+    "build3d_tiles",
+    "building_labels",
+]
+
+
+def build_golden_oracles() -> dict[str, str]:
+    return {
+        name: (
+            f"SELECT * EXCLUDE (lineitem_n) "
+            f"FROM read_parquet('{GOLDEN_DIR}/{name}.parquet') "
+            f"WHERE lineitem_n = (SELECT COUNT(*) FROM lineitem)"
+        )
+        for name in GOLDEN_ORACLE_QUERIES
+        if os.path.exists(os.path.join(GOLDEN_DIR, f"{name}.parquet"))
+    }
 

@@ -148,11 +148,17 @@ def flagship_join(pages: DataFrame, buildings: DataFrame) -> DataFrame:
 
 
 def flagship(
-    pages: DataFrame, buildings: DataFrame
+    pages: DataFrame, buildings: DataFrame, refine: str = "broadcast"
 ) -> dict[str, DataFrame]:
     """Full pipeline. Returns the named stage outputs:
     join_rows(url, osm_id), tile_assignment(osm_id, tile_key),
-    tile_doc_counts(tile_key, docs), batch(batch tables per owner tile)."""
+    tile_doc_counts(tile_key, docs), batch(batch tables per owner tile).
+
+    `refine` forwards to spatial_join: 'broadcast' (default — the measured
+    zero-shuffle plan for bounded per-extent dimensions) or 'cogroup' (the
+    planet-scale path for unbounded building dimensions; benched as
+    flagship_cogroup_secs so it has a recorded number, not just a parity
+    test)."""
     from ..operators.cells import building_cells_multi
 
     blds = buildings.filter(F.col("layer") == "buildings")
@@ -171,7 +177,7 @@ def flagship(
     # 'auto') on their own dimensions
     join_rows = spatial_join(
         pts, blds, z=20, page_cols=("url",), building_cols=("osm_id",),
-        precomputed_cells=join_cells, refine="broadcast",
+        precomputed_cells=join_cells, refine=refine,
     )
     assignment = owners.select("osm_id", "tile_key")
     # assignment is one row per building (bounded dimension) — broadcast so the

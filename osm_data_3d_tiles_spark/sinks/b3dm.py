@@ -7,9 +7,12 @@ export → weld → Draco compress → `createB3dmTileDataFromGlb`. Our payload 
 uncompressed glTF 2.0 binary built by direct struct packing (no 3D runtime
 needed): one mesh primitive with POSITION / NORMAL / TEXCOORD_0 / _BATCHID
 accessors — the same attribute set the reference exports
-(build3dBuilding.ts:102-108). Draco compression is deliberately omitted: it is a
-byte-level codec applied at the very end of the reference sink and changes no
-verified semantics (SURVEY.md §2.1 "we verify the *table*, not Draco bytes").
+(build3dBuilding.ts:102-108). Draco compression ships as an injectable seam
+(`compress=` on pack_glb/b3dm_for_tile): no codec library exists in this
+sandbox, so the default emits uncompressed tiles — a byte-level codec applied
+at the very end of the reference sink that changes no verified semantics
+(SURVEY.md §2.1 "we verify the *table*, not Draco bytes"); a deployment with a
+Draco encoder plugs it in and gets KHR_draco_mesh_compression tiles.
 
 The seed path (`seed_tiles`) is the Spark mapping of seed-b3dm.ts:14-65 — one
 batch job materializing every tile, executed with foreachPartition so tile bytes
@@ -72,21 +75,37 @@ def pack_glb(
     uv: np.ndarray,
     batch_id: np.ndarray,
     weld: bool = True,
+    compress=None,
 ) -> bytes:
     """Triangle mesh → glTF 2.0 binary (one buffer; indexed when welded).
 
     weld=True deduplicates vertices shared by adjacent triangles (flat-roof
     fans, wall strips share almost every vertex) into an indexed mesh —
     the reference runs the same weld before export; skipping it inflates every
-    tile's vertex buffers with duplicates."""
+    tile's vertex buffers with duplicates.
+
+    `compress` is the optional Draco seam (reference parity:
+    /root/reference/src/b3dmGenerator.ts:182-195 — EDGEBREAKER, quantization
+    volume "scene"; no codec library exists in this sandbox, so the default
+    None emits the identical uncompressed GLB this sink always produced).
+    Signature: compress(pos, nrm, tex, bid, indices) -> bytes (the Draco
+    buffer). When supplied, the GLB carries one bufferView with the codec
+    bytes, KHR_draco_mesh_compression on the primitive (attribute ids in
+    POSITION/NORMAL/TEXCOORD_0/_BATCHID order), and accessors without
+    bufferView per the extension spec — a cluster deployment with draco
+    installed plugs its encoder here and gets reference-parity tiles."""
     pos = np.asarray(position, dtype=np.float32).reshape(-1, 3)
     nrm = np.asarray(normal, dtype=np.float32).reshape(-1, 3)
     tex = np.asarray(uv, dtype=np.float32).reshape(-1, 2)
     bid = np.asarray(batch_id, dtype=np.float32).reshape(-1)
     indices: np.ndarray | None = None
-    if weld and len(pos):
+    if (weld or compress is not None) and len(pos):
+        # draco needs the indexed mesh — always weld before compressing
         pos, nrm, tex, bid, indices = weld_vertices(pos, nrm, tex, bid)
     n = len(pos)
+
+    if compress is not None and indices is not None:
+        return _pack_glb_draco(pos, nrm, tex, bid, indices, compress)
 
     views = []
     accessors = []
@@ -166,6 +185,73 @@ def pack_glb(
     return out
 
 
+def _pack_glb_draco(
+    pos: np.ndarray,
+    nrm: np.ndarray,
+    tex: np.ndarray,
+    bid: np.ndarray,
+    indices: np.ndarray,
+    compress,
+) -> bytes:
+    """GLB whose single primitive is Draco-compressed via the supplied codec.
+    Accessors keep count/type/min/max (they describe the DECOMPRESSED data and
+    deliberately omit bufferView, per KHR_draco_mesh_compression); the one
+    bufferView holds the codec bytes."""
+    blob = _pad(bytes(compress(pos, nrm, tex, bid, indices)), 4, b"\x00")
+    n = len(pos)
+
+    def acc(comp_type: int, acc_type: str, count: int, arr=None):
+        a = {"componentType": comp_type, "count": count, "type": acc_type}
+        if arr is not None:
+            a["min"] = [float(v) for v in arr.min(axis=0)]
+            a["max"] = [float(v) for v in arr.max(axis=0)]
+        return a
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "osm-data-3d-tiles-spark"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{
+            "primitives": [{
+                "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2, "_BATCHID": 3},
+                "mode": 4,
+                "indices": 4,
+                "extensions": {
+                    "KHR_draco_mesh_compression": {
+                        "bufferView": 0,
+                        "attributes": {
+                            "POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2, "_BATCHID": 3
+                        },
+                    }
+                },
+            }]
+        }],
+        "buffers": [{"byteLength": len(blob)}],
+        "bufferViews": [{"buffer": 0, "byteOffset": 0, "byteLength": len(blob)}],
+        "accessors": [
+            acc(5126, "VEC3", n, pos.reshape(n, 3)),
+            acc(5126, "VEC3", n),
+            acc(5126, "VEC2", n),
+            acc(5126, "SCALAR", n),
+            acc(5125, "SCALAR", int(len(indices))),
+        ],
+        "extensionsUsed": ["KHR_draco_mesh_compression"],
+        "extensionsRequired": ["KHR_draco_mesh_compression"],
+    }
+    json_bytes = _pad(json.dumps(gltf, separators=(",", ":")).encode(), 4, b" ")
+    bin_bytes = blob
+    total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
+    if total % 8:
+        extra = 8 - total % 8
+        json_bytes += b" " * extra
+        total += extra
+    out = struct.pack("<III", GLB_MAGIC, 2, total)
+    out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
+    out += struct.pack("<II", len(bin_bytes), BIN_CHUNK) + bin_bytes
+    return out
+
+
 def _pad_from(data: bytes, start: int, boundary: int, pad_byte: bytes) -> bytes:
     """Pad so that (start + len(data)) % boundary == 0 — alignment is relative
     to the START OF THE TILE, not to the block itself (3D Tiles 1.0 §B3DM:
@@ -216,11 +302,12 @@ def _json_safe(v):
     return v
 
 
-def b3dm_for_tile(geo_row: dict, batch_row: dict | None) -> bytes:
+def b3dm_for_tile(geo_row: dict, batch_row: dict | None, compress=None) -> bytes:
     """One build_tiles_3d output row (+ its batch_tables row) → b3dm bytes.
 
     featureTable = {BATCH_LENGTH}; batchTable = the pivoted per-building columns
-    (b3dmGenerator.ts:242-247 shape)."""
+    (b3dmGenerator.ts:242-247 shape). `compress` is the optional Draco codec
+    seam, forwarded to pack_glb (None → byte-identical uncompressed tiles)."""
     feature_table = {"BATCH_LENGTH": int(geo_row["batch_length"])}
     batch_table = {}
     if batch_row:
@@ -234,6 +321,7 @@ def b3dm_for_tile(geo_row: dict, batch_row: dict | None) -> bytes:
     glb = pack_glb(
         np.asarray(geo_row["position"]), np.asarray(geo_row["normal"]),
         np.asarray(geo_row["uv"]), np.asarray(geo_row["batch_id"]),
+        compress=compress,
     )
     return pack_b3dm(glb, feature_table, batch_table)
 

@@ -90,6 +90,59 @@ class TestGlbPacking:
         assert "indices" not in prim
         assert gltf["accessors"][0]["count"] == 3
 
+    def test_draco_seam_noop_is_uncompressed(self):
+        # default path (no codec supplied) must carry zero extension plumbing
+        quad = np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 0, 0], [1, 1, 0], [0, 1, 0]],
+            dtype=np.float32,
+        )
+        nrm = np.tile([0, 0, 1], 6).astype(np.float32)
+        glb = pack_glb(quad.ravel(), nrm, np.zeros(12, np.float32), np.zeros(6, np.float32))
+        assert b"KHR_draco_mesh_compression" not in glb
+        assert glb == pack_glb(
+            quad.ravel(), nrm, np.zeros(12, np.float32), np.zeros(6, np.float32),
+            compress=None,
+        )
+
+    def test_draco_seam_wires_extension(self):
+        """A supplied codec gets the WELDED mesh, and the GLB declares
+        KHR_draco_mesh_compression with the codec bytes as the only bufferView
+        and accessors that omit bufferView (they describe decompressed data)."""
+        quad = np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 0, 0], [1, 1, 0], [0, 1, 0]],
+            dtype=np.float32,
+        )
+        nrm = np.tile([0, 0, 1], 6).astype(np.float32)
+        seen = {}
+
+        def fake_codec(pos, n, t, b, indices):
+            seen["n_verts"] = len(pos)
+            seen["n_idx"] = len(indices)
+            return b"DRACOBYTES"
+
+        glb = pack_glb(
+            quad.ravel(), nrm, np.zeros(12, np.float32), np.zeros(6, np.float32),
+            compress=fake_codec,
+        )
+        assert seen == {"n_verts": 4, "n_idx": 6}  # welded before compressing
+        jlen = struct.unpack("<II", glb[12:20])[0]
+        gltf = json.loads(glb[20: 20 + jlen])
+        assert gltf["extensionsRequired"] == ["KHR_draco_mesh_compression"]
+        prim = gltf["meshes"][0]["primitives"][0]
+        ext = prim["extensions"]["KHR_draco_mesh_compression"]
+        assert ext["bufferView"] == 0
+        assert ext["attributes"] == {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2, "_BATCHID": 3}
+        assert len(gltf["bufferViews"]) == 1
+        assert all("bufferView" not in a for a in gltf["accessors"])
+        assert gltf["accessors"][0]["count"] == 4  # decompressed vertex count
+        assert gltf["accessors"][4]["count"] == 6
+        boff = 20 + jlen
+        blen = struct.unpack("<II", glb[boff: boff + 8])[0]
+        assert glb[boff + 8: boff + 8 + blen].startswith(b"DRACOBYTES")
+        assert len(glb) % 8 == 0
+        magic, version, total = struct.unpack("<III", glb[:12])
+        assert magic == 0x46546C67 and total == len(glb)
+
     def test_b3dm_roundtrip(self):
         glb = pack_glb(
             np.zeros(9, np.float32), np.zeros(9, np.float32),
