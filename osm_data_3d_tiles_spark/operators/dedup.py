@@ -418,14 +418,17 @@ def ngram_jaccard_exact(
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    # gram-set dedup is PER DOCUMENT → array_distinct inside the row, not a
+    # DataFrame.distinct() (which would shuffle the whole exploded gram table);
+    # |distinct grams| likewise falls out narrow as size(array)
+    gharr = F.array_distinct(grams_arr)
+    base = docs.select(
+        F.col(id_col).alias("id"), gharr.alias("_gh"), F.size(gharr).alias("sz")
+    )
     grams = _register_persist(
-        docs.select(F.col(id_col).alias("id"), F.explode(grams_arr).alias("gh"))
-        .distinct()
-        .persist()
+        base.select("id", F.explode("_gh").alias("gh")).persist()
     )
-    sizes = _register_persist(
-        grams.groupBy("id").agg(F.count("*").alias("sz")).persist()
-    )
+    sizes = _register_persist(base.select("id", "sz").persist())
 
     from pyspark.sql import Window
 

@@ -95,6 +95,27 @@ class TestNearDedup:
         ham = pairs.set_index(["a", "b"])["hamming"]
         assert ham.loc[(1001, 1002)] == 0
 
+    def test_bucket_stats_report_what_a_cap_drops(self, dup_docs):
+        from osm_data_3d_tiles_spark.operators.dedup import minhash_band_bucket_stats
+
+        stats = minhash_band_bucket_stats(dup_docs, max_bucket=1).toPandas()
+        # the planted exact duplicates share every band bucket → n_members >= 2
+        # there, flagged as dropped under a cap of 1
+        assert (stats["n_members"] >= 1).all()
+        assert stats["would_drop"].eq(stats["n_members"] > 1).all()
+        assert stats["would_drop"].any()
+        uncapped = minhash_band_bucket_stats(dup_docs, max_bucket=None).toPandas()
+        assert not uncapped["would_drop"].any()
+
+    def test_unpersist_all_releases_registered_caches(self, spark, dup_docs):
+        from osm_data_3d_tiles_spark.operators import dedup as dd
+
+        dd.unpersist_all()  # drain leftovers from other tests
+        minhash_lsh_pairs(dup_docs, threshold=0.6).count()
+        assert len(dd._PERSISTED) >= 1
+        n = dd.unpersist_all()
+        assert n >= 1 and not dd._PERSISTED
+
     def test_ngram_jaccard(self, dup_docs):
         pairs = ngram_jaccard_pairs(dup_docs, threshold=0.5).toPandas()
         pairset = set(zip(pairs["a"], pairs["b"]))
