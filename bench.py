@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "ann_topk",
+    "ann_ivf_topk",
     "lang_id",
     "agg_pricing_summary",
     "events_tumbling_counts",

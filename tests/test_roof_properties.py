@@ -71,8 +71,12 @@ class TestRoofProperties:
     @given(seed=st.integers(0, 10_000))
     def test_skeleton_star_no_silent_wrong_tiling(self, seed):
         """Adversarial random stars: a success must tile the footprint exactly
-        (the area-conservation gate), a failure must be a clean None — never a
-        wrong tiling."""
+        (the area-conservation gate); a failure is allowed ONLY for non-simple
+        rings (this generator does not guarantee simplicity across large
+        angular gaps — measured round 3: all 11/1000 failures were
+        self-intersecting, 0 failures on the 989 simple polygons)."""
+        from osm_data_3d_tiles_spark.functions.skeleton import _ring_self_intersects
+
         rng = np.random.RandomState(seed)
         k = rng.randint(5, 20)
         ang = np.sort(rng.rand(k) * 2 * np.pi)
@@ -82,7 +86,12 @@ class TestRoofProperties:
         ring = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
         faces = straight_skeleton(ring)
         if faces is None:
-            return  # flat fallback — acceptable class
+            # flat fallback must mean the input was invalid, never a miss on a
+            # simple polygon
+            assert _ring_self_intersects(ring), (
+                f"skeleton failed on a SIMPLE polygon (seed {seed})"
+            )
+            return
         total = 0.0
         for face in faces:
             xy = np.array([(v[0], v[1]) for v in face])
