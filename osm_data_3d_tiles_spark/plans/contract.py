@@ -1268,6 +1268,17 @@ def build_rows_only_queries() -> dict:
 
     q["building_labels"] = labels
 
+    def doc_fingerprint(spark, sf_dir):
+        """Rolling-hash document fingerprint (min of windowed polynomial hashes
+        — the winnowing family): one Arrow stage, no shuffle; the fingerprint
+        is a cheap near-dup prefilter key at corpus scale."""
+        from ..operators.textops import with_fingerprint
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+    q["doc_fingerprint"] = doc_fingerprint
+
     return q
 
 
@@ -1298,6 +1309,7 @@ GOLDEN_ORACLE_QUERIES = [
     "mvt_ingest",
     "build3d_tiles",
     "building_labels",
+    "doc_fingerprint",
 ]
 
 

@@ -49,6 +49,7 @@ GOLDEN_QUERIES = [
     "mvt_ingest",
     "build3d_tiles",
     "building_labels",
+    "doc_fingerprint",
 ]
 
 
