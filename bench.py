@@ -231,18 +231,20 @@ def run_scaling(sf: float) -> dict:
       job has measured 48.7 s and 114.4 s in the same bench run, while the
       1-core level stays within ±7%. The minimum per level estimates the
       UNCONTENDED runtime — the property of the code, not the host weather.
-    - sampling is adaptive: after the base interleaved rounds, if the
-      efficiency is still below the target bar, extra samples are taken —
-      always at the volatile level, and at the stable level too whenever its
-      spread says it hasn't converged — until the bar is met or the budget
-      (SPARK_GRAFT_SCALE_MAX_EXTRA children) is exhausted. All samples are
-      reported; nothing is discarded silently."""
+    - sampling is adaptive on SPREAD CONVERGENCE, symmetric across levels:
+      after the base interleaved rounds, whichever level's min-to-max spread
+      exceeds 10% gets another sample (largest spread first) until both levels
+      converge or the budget (SPARK_GRAFT_SCALE_MAX_EXTRA children) is
+      exhausted. The stop rule deliberately never looks at the efficiency
+      value itself — stopping on the metric under test would be optional
+      stopping and bias the record; spread convergence estimates the floor at
+      BOTH levels equally well. All samples are reported; nothing is discarded
+      silently."""
     import subprocess
 
     repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "128"))
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
     max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "6"))
-    target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.85"))
     samples: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
 
     def take(cores: int) -> None:
@@ -259,16 +261,9 @@ def run_scaling(sf: float) -> dict:
         if "secs" in r:
             samples[cores].append(r)
 
-    def best_eff() -> float | None:
-        if not samples[SCALE_N] or not samples[SCALE_4N]:
-            return None
-        tp_n = max(r["docs"] / r["secs"] for r in samples[SCALE_N])
-        tp_4n = max(r["docs"] / r["secs"] for r in samples[SCALE_4N])
-        return (tp_4n / tp_n) / (SCALE_4N / SCALE_N)
-
     def spread(cores: int) -> float:
         secs = [r["secs"] for r in samples[cores]]
-        return (max(secs) - min(secs)) / min(secs) if len(secs) > 1 else 0.0
+        return (max(secs) - min(secs)) / min(secs) if len(secs) > 1 else float("inf")
 
     _warm_page_cache(sf)
     for _ in range(rounds):
@@ -277,23 +272,18 @@ def run_scaling(sf: float) -> dict:
 
     extra = 0
     while extra < max_extra:
-        eff = best_eff()
-        if eff is None or eff >= target:
+        sp = {c: spread(c) for c in (SCALE_N, SCALE_4N)}
+        unconverged = [c for c in sp if sp[c] > 0.10]
+        if not unconverged:
             break
-        # The 1-core level measures within ±7% run-to-run; the 4-core level is
-        # the one host contention whipsaws. Resample the stable level only when
-        # its own spread shows it hasn't converged.
-        if spread(SCALE_N) > 0.10 and len(samples[SCALE_N]) <= len(samples[SCALE_4N]):
-            take(SCALE_N)
-        else:
-            take(SCALE_4N)
+        take(max(unconverged, key=lambda c: sp[c]))
         extra += 1
 
     scaling: dict = {
         "input_replication": repl,
         "rounds": rounds,
         "extra_samples": extra,
-        "policy": "best-per-level (min secs ≈ uncontended runtime), adaptive resampling, all samples reported",
+        "policy": "best-per-level (min secs ≈ uncontended runtime); adaptive resampling on spread convergence (>10%), never on the efficiency value; all samples reported",
     }
     for cores, key in ((SCALE_N, "n"), (SCALE_4N, "4n")):
         runs = samples[cores]

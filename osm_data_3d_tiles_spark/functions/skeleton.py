@@ -518,9 +518,13 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
             # anything else stays stuck and falls back (area gate unaffected).
             loop = [v]
             w = v.next
-            while w is not v:
+            guard = 0
+            while w is not v and guard <= 2 * n + 4:
+                guard += 1
                 loop.append(w)
                 w = w.next
+            if w is not v:
+                continue  # next-chain never cycles back (rho shape) — leave stuck
             anchors, normals = [], []
             for t in loop:
                 a, _b = edges[t.edge_next]
@@ -535,7 +539,14 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
             sol, *_ = np.linalg.lstsq(mat, rhs, rcond=None)
             cand = sol[:2]
             h = float(sol[2])
-            scale = max(1.0, float(np.abs(pts).max()))
+            # tolerance scales with the footprint EXTENT, not the absolute
+            # coordinate magnitude: EPSG:3857 footprints sit at |x| ~ 1e6-1e7
+            # with extents of tens of meters, and an extent-sized loop's
+            # residual must stay near machine epsilon for a true concurrent
+            # collapse — an absolute-magnitude scale would make the gate
+            # meters-wide and stitch non-equidistant points the area gate
+            # cannot catch (fanning a loop to any interior point tiles it)
+            scale = max(1.0, float(np.ptp(pts[:, 0])), float(np.ptp(pts[:, 1])))
             resid = np.abs(mat @ sol - rhs).max()
             if resid > 1e-6 * scale or h <= -1e-9:
                 # not a concurrent forward collapse — leave stuck → None.

@@ -340,10 +340,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: candidates from MinHash LSH (loose
-    threshold), verified with true Jaccard over shingle sets."""
-    cand = minhash_lsh_pairs(docs, id_col, text_col, threshold=0.5)
+    threshold), verified with true Jaccard over shingle sets.
+
+    `max_bucket` forwards to the LSH candidate generator. Default None — no
+    silent recall cap — but a template-flood corpus makes an uncapped hot band
+    bucket O(n²) candidate pairs, each joined to its full text here; measure
+    with `minhash_band_bucket_stats` and set the cap at the plan layer for
+    planet-scale runs (run `exact_dedup` first so only near-identical floods
+    are ever affected)."""
+    cand = minhash_lsh_pairs(docs, id_col, text_col, threshold=0.5, max_bucket=max_bucket)
     texts = docs.select(F.col(id_col), F.col(text_col))
     pairs = (
         cand.join(texts.withColumnsRenamed({id_col: "a", text_col: "text_a"}), "a")

@@ -1314,6 +1314,11 @@ GOLDEN_ORACLE_QUERIES = [
 
 
 def build_golden_oracles() -> dict[str, str]:
+    """Name → DuckDB SQL reading the pinned golden for the CURRENT sf. Goldens
+    carry rows only for the sfs scripts/make_goldens.py generated (sandbox:
+    0.001/0.01/0.1); running the contract at any other sf selects zero golden
+    rows and fails the row-count compare — regenerate the goldens with
+    SPARK_GRAFT_GOLDEN_SF_DIRS extended before running at a new scale."""
     return {
         name: (
             f"SELECT * EXCLUDE (lineitem_n) "

@@ -124,7 +124,13 @@ def checkpoint(
         if not set(required_cols) <= have:
             import shutil
 
-            shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(path)
+            if _snapshot_done(path):  # removal silently incomplete
+                raise RuntimeError(
+                    f"stale checkpoint snapshot {path!r} (missing columns "
+                    f"{sorted(set(required_cols) - have)}) could not be removed; "
+                    "delete it manually or point the run at a fresh workdir"
+                )
     if not _snapshot_done(path):
         df = df_fn()
         df.write.mode("overwrite").parquet(path)

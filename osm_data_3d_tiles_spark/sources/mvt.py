@@ -300,9 +300,12 @@ def _coerce(name: str, v):
 
 
 def _coerce_osm_id(v, feature_id):
-    """int64 osm_id from whatever the tile carries: int, numeric string, or
-    'way/123'-style prefixed string (trailing digit run). Falls back to the MVT
-    feature id, else None — one malformed feature never fails the stage."""
+    """int64 osm_id from whatever the tile carries: int, numeric string,
+    float-ish string ('123.0', '1.5e7' — JSON round-trips stringify this way),
+    or 'way/123'-style prefixed string. Falls back to the MVT feature id, else
+    None — one malformed feature never fails the stage. The digit-run fallback
+    requires a non-numeric prefix boundary so '123.0' never truncates to its
+    fractional digits."""
     import re
 
     for cand in (v, feature_id):
@@ -311,9 +314,18 @@ def _coerce_osm_id(v, feature_id):
         try:
             return int(cand)
         except (TypeError, ValueError):
-            m = re.search(r"(\d+)\s*$", str(cand))
-            if m:
-                return int(m.group(1))
+            pass
+        s = str(cand).strip()
+        try:
+            f = float(s)
+            if f == int(f):
+                return int(f)
+            continue  # genuinely fractional id — fall through to feature_id
+        except (ValueError, OverflowError):
+            pass
+        m = re.search(r"(?:^|[^\d.])(\d+)$", s)
+        if m:
+            return int(m.group(1))
     return None
 
 

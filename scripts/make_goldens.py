@@ -35,7 +35,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 GOLDEN_DIR = os.path.join(REPO, "golden")
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# every sf the driver/tests may run at; a golden matches ZERO rows (an oracle
+# row-count mismatch, not a crash) for any sf absent here — extend via env and
+# regenerate before running the contract at a new scale factor
+SF_DIRS = os.environ.get(
+    "SPARK_GRAFT_GOLDEN_SF_DIRS",
+    "/root/testdata/sf0.001:/root/testdata/sf0.01:/root/testdata/sf0.1",
+).split(":")
 
 # every deterministic rows-only query (plans/contract.py build_rows_only_queries)
 GOLDEN_QUERIES = [

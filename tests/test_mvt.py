@@ -93,6 +93,9 @@ class TestFixtureTile:
         assert _coerce_osm_id("123", 7) == 123
         assert _coerce_osm_id("way/456", 7) == 456  # real-world prefixed id
         assert _coerce_osm_id("relation/9", None) == 9
+        assert _coerce_osm_id("123.0", 7) == 123      # JSON-stringified float
+        assert _coerce_osm_id("1.5e7", 7) == 15000000
+        assert _coerce_osm_id("1.5", 7) == 7          # fractional → feature id
         assert _coerce_osm_id("no-digits", 7) == 7  # fall back to feature id
         assert _coerce_osm_id(None, 7) == 7
         assert _coerce_osm_id("no-digits", None) is None
