@@ -746,6 +746,34 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def decontaminate_q(spark, sf_dir):
+        """Benchmark decontamination: per-doc count of distinct 3-grams shared
+        with the 'benchmark' reference (every 50th document). Broadcast-Bloom
+        prefilter + exact verify join — the result is exact, so a plain SQL
+        oracle states it."""
+        from ..operators.decontaminate import contaminated_docs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ref = docs.filter(F.col("doc_id") % 50 == 0)
+        out = contaminated_docs(docs, ref, n=3)
+        return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+    q["decontaminate_ngram"] = (
+        decontaminate_q,
+        """
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+          WHERE len(w) >= 3
+        ),
+        ref AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+        SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM grams d JOIN ref USING (g)
+        GROUP BY d.doc_id
+        """,
+    )
+
     def token_count(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return docs.select(

@@ -217,6 +217,55 @@ class TestNearDedup:
         assert set(zip(out["a"], out["b"])) == {(0, 1000)}
 
 
+class TestDecontaminate:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),        # shares a 3-gram w/ ref
+            (2, "completely unrelated words nothing shared here"),
+            (3, "beta gamma delta other tail words"),          # shares 'beta gamma delta'
+            (4, "one two three four five six"),
+        ]
+        ref = [(100, "prefix alpha beta gamma delta suffix")]
+        return (
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            spark.createDataFrame(ref, ["doc_id", "text"]),
+        )
+
+    def test_planted_overlap_found_exactly(self, corpus):
+        from osm_data_3d_tiles_spark.operators.decontaminate import contaminated_docs
+
+        docs, ref = corpus
+        out = contaminated_docs(docs, ref, n=3).toPandas().set_index("doc_id")
+        # doc 1 shares 'alpha beta gamma' + 'beta gamma delta'; doc 3 shares 1
+        assert sorted(out.index) == [1, 3]
+        assert out.loc[1, "n_hits"] == 2
+        assert out.loc[3, "n_hits"] == 1
+
+    def test_bloom_and_exact_paths_agree(self, corpus):
+        from osm_data_3d_tiles_spark.operators.decontaminate import contaminated_docs
+
+        docs, ref = corpus
+        a = contaminated_docs(docs, ref, n=3, use_bloom=True).toPandas()
+        b = contaminated_docs(docs, ref, n=3, use_bloom=False).toPandas()
+        key = lambda df: sorted(zip(df["doc_id"], df["n_hits"]))
+        assert key(a) == key(b)
+
+    def test_decontaminate_returns_clean_complement(self, corpus):
+        from osm_data_3d_tiles_spark.operators.decontaminate import decontaminate
+
+        docs, ref = corpus
+        clean = decontaminate(docs, ref, n=3).toPandas()
+        assert sorted(clean["doc_id"]) == [2, 4]
+
+    def test_empty_reference_flags_nothing(self, spark, corpus):
+        from osm_data_3d_tiles_spark.operators.decontaminate import contaminated_docs
+
+        docs, _ = corpus
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert contaminated_docs(docs, empty, n=3).count() == 0
+
+
 class TestSimilarity:
     def test_ivf_recall_vs_bruteforce(self, spark, embeddings):
         q = (
