@@ -676,6 +676,46 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def dedup_watermark(spark, sf_dir):
+        """Batch-equivalent of streaming/events.dedup_within_watermark: events
+        unioned with a redelivered copy of every 10th event (+3 min — inside
+        the horizon) must dedup back to exactly one row per event_id, keeping
+        the earliest."""
+        from ..streaming.events import dedup_within_watermark
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+        )
+        redelivered = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 3 MINUTES")
+        )
+        out = dedup_within_watermark(ev.unionByName(redelivered), key_cols=("event_id",))
+        return out.select(
+            "event_id",
+            F.col("ts").cast("long").alias("ts_epoch"),
+            "user_id",
+            "event_type",
+        )
+
+    q["events_dedup_watermark"] = (
+        dedup_watermark,
+        """
+        WITH allv AS (
+            SELECT event_id, ts, user_id, event_type FROM events
+            UNION ALL
+            SELECT event_id, ts + INTERVAL 3 MINUTE AS ts, user_id, event_type
+            FROM events WHERE event_id % 10 = 0
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY event_id
+                                         ORDER BY ts, event_id) AS rn
+            FROM allv
+        )
+        SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch, user_id, event_type
+        FROM r WHERE rn = 1
+        """,
+    )
+
     def sessionized(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
             "ts", F.col("ts").cast("timestamp")

@@ -85,6 +85,36 @@ def sessionize(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on `key_cols` with BOUNDED state: Spark's
+    `dropDuplicatesWithinWatermark` keeps a key only until the watermark passes
+    its first-seen event time, so state size tracks the duplicate horizon, not
+    the stream length — the shape an at-least-once crawl ingest needs (a
+    redelivered page within the horizon dedups; unbounded `dropDuplicates`
+    state would OOM a 10¹²-event stream).
+
+    Batch equivalence (what the oracle checks): with all data in one batch,
+    keeping the first row per key equals `dropDuplicates` — the watermark only
+    bounds WHEN a duplicate can still be caught, not which row wins."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col), F.col(key_cols[0]))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def stream_pages_from_dir(spark, path: str, schema) -> DataFrame:
     """readStream over a directory of page parquet drops (the ingest pattern for a
     continuously-crawled corpus); combine with plans.pipeline.extract_pages."""

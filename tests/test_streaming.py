@@ -263,3 +263,60 @@ class TestStreamingOwnership:
             assert rows["00:05"] == (1, 2.0)
         finally:
             q.stop()
+
+    def test_dedup_within_watermark_streaming(self, spark, tmp_path):
+        """A redelivered event inside the watermark horizon dedups; the batch
+        path keeps the earliest row per key (the oracle-checked equivalence)."""
+        from osm_data_3d_tiles_spark.streaming.events import dedup_within_watermark
+
+        src_dir = str(tmp_path / "dd_events")
+        os.makedirs(src_dir)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ts = pd.Timestamp("2024-01-01 00:01:00")
+        df = pd.DataFrame({
+            "event_id": [1, 2, 1, 3],  # event 1 redelivered in-batch
+            "ts": [ts, ts + pd.Timedelta(minutes=1), ts + pd.Timedelta(minutes=2),
+                   ts + pd.Timedelta(minutes=3)],
+            "user_id": [10, 20, 10, 30],
+        })
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(src_dir, "b1.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+
+        stream = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(src_dir)
+        out = dedup_within_watermark(stream, key_cols=("event_id",))
+        q = (
+            out.writeStream.format("memory").queryName("dd_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # redeliver event 2 in a later micro-batch, still inside the horizon
+            pq.write_table(
+                pa.Table.from_pandas(pd.DataFrame({
+                    "event_id": [2, 4],
+                    "ts": [ts + pd.Timedelta(minutes=4), ts + pd.Timedelta(minutes=5)],
+                    "user_id": [20, 40],
+                }), preserve_index=False),
+                os.path.join(src_dir, "b2.parquet"),
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
+            q.processAllAvailable()
+            rows = spark.sql("select event_id from dd_test").collect()
+            got = sorted(r.event_id for r in rows)
+            assert got == [1, 2, 3, 4]  # each id exactly once despite redelivery
+        finally:
+            q.stop()
+
+        # batch path: earliest row per key
+        batch = dedup_within_watermark(
+            spark.createDataFrame(df), key_cols=("event_id",)
+        ).toPandas().sort_values("event_id")
+        assert list(batch["event_id"]) == [1, 2, 3]
+        assert batch.set_index("event_id").loc[1, "ts"] == ts  # earliest kept
