@@ -74,12 +74,22 @@ def cmd_seed(args) -> int:
 
 
 def cmd_flagship(args) -> int:
-    """The flagship pages→join→ownership pipeline with snapshot checkpoints."""
+    """The flagship pages→join→ownership pipeline with snapshot checkpoints.
+    `--pages` points at the production input — an Iceberg catalog table
+    (dotted name, optional time travel pin) or a parquet path — and falls
+    back to the deterministic sf fixture when omitted."""
     from .plans.pipeline import run_with_checkpoints
     from .sources import fixtures as fx
+    from .sources.tables import read_pages
 
     spark = _spark(args)
-    pages = fx.load_fixture(spark, "pages", args.sf)
+    if args.pages:
+        pages = read_pages(
+            spark, args.pages,
+            snapshot_id=args.pages_snapshot_id,
+        )
+    else:
+        pages = fx.load_fixture(spark, "pages", args.sf)
     buildings = fx.load_fixture(spark, "buildings", args.sf)
     out = run_with_checkpoints(spark, pages, buildings, args.workdir)
     print(json.dumps({
@@ -134,6 +144,10 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=cmd_seed)
 
     f = sub.add_parser("flagship", help="pages→PIP-join→ownership with checkpoints")
+    f.add_argument("--pages", default=None,
+                   help="pages input: Iceberg table name (catalog.db.pages) or parquet path; default = sf fixture")
+    f.add_argument("--pages-snapshot-id", type=int, default=None,
+                   help="Iceberg snapshot pin for --pages (catalog tables only)")
     f.add_argument("--sf", type=float, default=0.001)
     f.add_argument("--workdir", required=True)
     f.set_defaults(fn=cmd_flagship)
