@@ -172,13 +172,28 @@ def main() -> None:
         result["flagship_cogroup_secs"] = round(cg_secs, 3)
         result["flagship_cogroup_join_rows"] = cg_rows
 
+        # per-query best-of-R (same rationale as the flagship best-of-3: one
+        # contended sample otherwise lands on the official record — round-2's
+        # knn logged 43.9 s vs 17.1 s archived for identical code). All
+        # samples are reported in queries_all_secs.
+        query_rounds = int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "2"))
+        result["queries_all_secs"] = {}
         for name in HEADLINE:
             if name not in queries:
                 continue
-            t0 = time.perf_counter()
-            df = queries[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            result["queries"][name] = round(time.perf_counter() - t0, 3)
+            secs = []
+            for _ in range(query_rounds):
+                t0 = time.perf_counter()
+                df = queries[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                secs.append(round(time.perf_counter() - t0, 3))
+                # each dedup call persists its own intermediates; release them
+                # so repeated rounds don't stack cached blocks
+                from osm_data_3d_tiles_spark.operators.dedup import unpersist_all
+
+                unpersist_all()
+            result["queries"][name] = min(secs)
+            result["queries_all_secs"][name] = secs
     finally:
         spark.stop()
 
