@@ -260,7 +260,10 @@ def run_scaling(sf: float) -> dict:
 
     repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "128"))
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
-    max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "6"))
+    # worst-case budget: base rounds ≈ 9 min + 4 extras ≈ 14 min keeps the full
+    # bench under ~25 min even through a contention spike (in the archived
+    # 0.997 run the best 4N sample arrived by extra #2)
+    max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "4"))
     samples: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
 
     def take(cores: int) -> None:
