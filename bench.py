@@ -176,7 +176,7 @@ def main() -> None:
         # contended sample otherwise lands on the official record — round-2's
         # knn logged 43.9 s vs 17.1 s archived for identical code). All
         # samples are reported in queries_all_secs.
-        query_rounds = int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "2"))
+        query_rounds = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "2")))
         result["queries_all_secs"] = {}
         for name in HEADLINE:
             if name not in queries:
@@ -187,11 +187,14 @@ def main() -> None:
                 df = queries[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 secs.append(round(time.perf_counter() - t0, 3))
-                # each dedup call persists its own intermediates; release them
-                # so repeated rounds don't stack cached blocks
+                # every op that persists (dedup index, knn cell index, IVF base,
+                # decontaminate broadcast) re-creates its intermediates per
+                # call; clear the lot between rounds so repeated rounds don't
+                # stack cached blocks and skew later queries
                 from osm_data_3d_tiles_spark.operators.dedup import unpersist_all
 
                 unpersist_all()
+                spark.catalog.clearCache()
             result["queries"][name] = min(secs)
             result["queries_all_secs"][name] = secs
     finally:

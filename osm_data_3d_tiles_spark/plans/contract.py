@@ -708,7 +708,7 @@ def build_relational_queries() -> dict:
         ),
         r AS (
             SELECT *, row_number() OVER (PARTITION BY event_id
-                                         ORDER BY ts, event_id) AS rn
+                                         ORDER BY ts, user_id, event_type) AS rn
             FROM allv
         )
         SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch, user_id, event_type

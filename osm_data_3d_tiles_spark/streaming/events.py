@@ -100,14 +100,19 @@ def dedup_within_watermark(
 
     Batch equivalence (what the oracle checks): with all data in one batch,
     keeping the first row per key equals `dropDuplicates` — the watermark only
-    bounds WHEN a duplicate can still be caught, not which row wins."""
+    bounds WHEN a duplicate can still be caught, not which row wins. The batch
+    tiebreak orders by ts then every remaining column (the key itself is
+    constant within a partition, so it can never break a tie): two rows equal
+    on (key, ts) but differing elsewhere pick a deterministic winner on both
+    the Spark and oracle side."""
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             list(key_cols)
         )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col), F.col(key_cols[0]))
+    rest = [c for c in events.columns if c not in key_cols and c != ts_col]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col), *[F.col(c) for c in rest])
     return (
         events.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
