@@ -34,8 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001-scale fixtures; driver checks rows>0."""
     from osm_data_3d_tiles_spark.plans.pipeline import flagship
     from osm_data_3d_tiles_spark.sources import fixtures as fx
+    from osm_data_3d_tiles_spark.sources.tables import read_pages
 
-    pages = fx.load_fixture(spark, "pages", 0.001)
+    # The documented front door: in production `ref` is an Iceberg table name
+    # ("catalog.db.pages", optionally time-travel-pinned); here it is the
+    # fixture parquet path — read_pages enforces the (url, warc_ts, html,
+    # text, lang) schema contract either way.
+    pages = read_pages(spark, fx.ensure_fixture("pages", 0.001))
     buildings = fx.load_fixture(spark, "buildings", 0.001)
     out = flagship(pages, buildings)
     return (
