@@ -74,6 +74,37 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return with_min_parallelism(docs).withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
 
 
+def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition: the fraction of word bigrams that are
+    duplicates (Gopher's duplicate-n-gram rule; high values flag boilerplate
+    and generated spam). Pure native higher-order functions — the whole
+    computation is per-row inside whole-stage codegen, zero shuffle, zero
+    Python: at corpus scale this is a map-only pass over the text column.
+
+    Adds ``n_bigrams``, ``n_distinct_bigrams`` (int64) and
+    ``dup_bigram_ratio`` (double in [0, 1]; 0.0 for texts under two words)."""
+    toks = F.split(F.col(text_col), " ", -1)
+    n = F.size(toks)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    total = F.size(bigrams).cast("long")
+    distinct = F.size(F.array_distinct(bigrams)).cast("long")
+    ratio = F.when(total == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    )
+    return (
+        docs.withColumn("n_bigrams", total)
+        .withColumn("n_distinct_bigrams", distinct)
+        .withColumn("dup_bigram_ratio", ratio)
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",

@@ -947,6 +947,111 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def repetition(spark, sf_dir):
+        """Gopher duplicate-bigram rule — zero-shuffle native-HOF pass."""
+        from ..operators.textops import with_repetition
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return with_repetition(docs).select(
+            "doc_id", "n_bigrams", "n_distinct_bigrams", "dup_bigram_ratio"
+        )
+
+    q["repetition_dup_bigrams"] = (
+        repetition,
+        """
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bi AS (
+          SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+          FROM words, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+          WHERE len(w) >= 2
+        ),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_bigrams
+          FROM bi GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               COALESCE(a.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+               CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(a.n_distinct_bigrams AS DOUBLE)
+                             / CAST(a.n_bigrams AS DOUBLE) END AS dup_bigram_ratio
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+    )
+
+    def url_canon(spark, sf_dir):
+        """URL canonicalization + keep-newest-capture dedup. The messy URL is
+        SYNTHESIZED from doc_id (mixed-case scheme/host, explicit default and
+        non-default ports, empty paths, utm_*/fbclid tracking params,
+        fragments) and parsed back by the real operator; the oracle assembles
+        the expected canonical form directly from the same parts. Everything
+        derives from b = doc_id % 60, so ~60 canonical groups exist and the
+        latest-capture winner (ts monotonic in doc_id) is exercised for real."""
+        from ..operators.urls import canonicalize_url, url_dedup_latest
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        b = F.col("doc_id") % 60
+        scheme = F.when(b % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP"))
+        host = F.concat(F.lit("Site"), (b % 3).cast("string"), F.lit(".Example.COM"))
+        port = (
+            F.when((b % 4 == 0) & (b % 2 == 0), F.lit(":443"))
+            .when(b % 4 == 0, F.lit(":80"))
+            .when(b % 4 == 1, F.lit(":8080"))
+            .otherwise(F.lit(""))
+        )
+        path = F.when(b % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/p/"), (b % 5).cast("string"))
+        )
+        query = (
+            F.when(b % 7 == 0, F.concat(F.lit("?utm_source=x&id="), (b % 10).cast("string")))
+            .when(b % 7 == 1, F.lit("?utm_campaign=y"))
+            .when(b % 7 == 2, F.lit("?a=1&fbclid=z&b=2"))
+            .otherwise(F.lit(""))
+        )
+        frag = F.when(b % 3 == 0, F.lit("#frag")).otherwise(F.lit(""))
+        pages = docs.select(
+            "doc_id",
+            F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias("url"),
+            (F.lit(1700000000) + F.col("doc_id") * 37).cast("long").alias("fetch_ts"),
+        )
+        out = url_dedup_latest(
+            canonicalize_url(pages).drop("url"), ts_col="fetch_ts"
+        )
+        return out.select(
+            "canonical_url",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("fetch_ts").alias("last_ts"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+        )
+
+    q["url_canonical_dedup"] = (
+        url_canon,
+        """
+        WITH p AS (
+          SELECT doc_id, doc_id % 60 AS b,
+                 CAST(1700000000 + doc_id * 37 AS BIGINT) AS fetch_ts
+          FROM documents
+        ),
+        canon AS (
+          SELECT doc_id, fetch_ts,
+                 (CASE WHEN b % 2 = 0 THEN 'https' ELSE 'http' END)
+                 || '://site' || CAST(b % 3 AS VARCHAR) || '.example.com'
+                 || (CASE WHEN b % 4 = 1 THEN ':8080' ELSE '' END)
+                 || (CASE WHEN b % 5 = 0 THEN '/' ELSE '/p/' || CAST(b % 5 AS VARCHAR) END)
+                 || (CASE WHEN b % 7 = 0 THEN '?id=' || CAST(b % 10 AS VARCHAR)
+                          WHEN b % 7 = 2 THEN '?a=1&b=2'
+                          ELSE '' END) AS canonical_url
+          FROM p
+        )
+        SELECT canonical_url,
+               max_by(doc_id, fetch_ts) AS kept_doc,
+               MAX(fetch_ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM canon GROUP BY canonical_url
+        """,
+    )
+
     def ann(spark, sf_dir):
         from ..operators.similarity import ann_bruteforce_topk
 

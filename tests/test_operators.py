@@ -418,3 +418,66 @@ class TestStreaming:
         # append mode emits only watermark-closed windows; the plan executing
         # end-to-end (no AnalysisException on the streaming agg) is the contract
         assert not q.isActive
+
+
+class TestUrlsAndRepetition:
+    def test_canonicalize_rules(self, spark):
+        cases = [
+            # (raw, expected canonical)
+            ("HTTP://User:Pw@WWW.Ex.COM:80/a/b?utm_source=x#f", "http://www.ex.com/a/b"),
+            ("https://ex.com:443/", "https://ex.com/"),
+            ("https://ex.com:8443/x", "https://ex.com:8443/x"),
+            ("https://Ex.Com", "https://ex.com/"),
+            ("http://ex.com/p?a=1&fbclid=zz&b=2&UTM_term=q", "http://ex.com/p?a=1&b=2"),
+            ("http://ex.com/p?gclid=only", "http://ex.com/p"),
+            # param ORDER is preserved (reordering conflates distinct URLs)
+            ("http://ex.com/p?b=2&a=1", "http://ex.com/p?b=2&a=1"),
+        ]
+        from osm_data_3d_tiles_spark.operators.urls import canonicalize_url
+
+        df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)], ["i", "url"])
+        got = canonicalize_url(df).toPandas().sort_values("i")["canonical_url"].tolist()
+        assert got == [want for _, want in cases]
+
+    def test_url_dedup_latest_keeps_newest(self, spark):
+        from osm_data_3d_tiles_spark.operators.urls import (
+            canonicalize_url,
+            url_dedup_latest,
+        )
+
+        rows = [
+            ("http://A.com/x?utm_source=1", 10, "old"),
+            ("HTTP://a.COM/x#frag", 30, "new"),
+            ("http://a.com:80/x", 20, "mid"),
+            ("http://b.com/", 5, "only"),
+        ]
+        df = spark.createDataFrame(rows, ["url", "warc_ts", "payload"])
+        out = (
+            url_dedup_latest(canonicalize_url(df).drop("url"))
+            .toPandas()
+            .set_index("canonical_url")
+        )
+        assert out.loc["http://a.com/x", "payload"] == "new"
+        assert out.loc["http://a.com/x", "n_dups"] == 3
+        assert out.loc["http://b.com/", "n_dups"] == 1
+        # map-side-combinable agg, not a window: plan must contain a partial agg
+        plan = url_dedup_latest(canonicalize_url(df).drop("url"))._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+    def test_repetition_ratio(self, spark):
+        from osm_data_3d_tiles_spark.operators.textops import with_repetition
+
+        rows = [
+            (1, "a b a b a b"),       # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "all words differ here"),
+            (3, "one"),               # under two words -> 0 bigrams, ratio 0
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = with_repetition(df).toPandas().set_index("doc_id")
+        assert out.loc[1, "n_bigrams"] == 5
+        assert out.loc[1, "n_distinct_bigrams"] == 2
+        assert abs(out.loc[1, "dup_bigram_ratio"] - (1 - 2 / 5)) < 1e-15
+        assert out.loc[2, "dup_bigram_ratio"] == 0.0
+        assert out.loc[3, "n_bigrams"] == 0 and out.loc[3, "dup_bigram_ratio"] == 0.0
+        assert out.loc[4, "n_bigrams"] == 0
