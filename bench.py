@@ -48,6 +48,8 @@ HEADLINE = [
     "ann_topk",
     "ann_ivf_topk",
     "lang_id",
+    "repetition_dup_bigrams",
+    "url_canonical_dedup",
     "agg_pricing_summary",
     "events_tumbling_counts",
     "events_sliding_counts",
