@@ -49,6 +49,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "lang_id",
     "repetition_dup_bigrams",
+    "pii_redaction",
     "url_canonical_dedup",
     "agg_pricing_summary",
     "events_tumbling_counts",

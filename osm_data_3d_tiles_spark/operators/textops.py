@@ -74,6 +74,38 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return with_min_parallelism(docs).withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
 
 
+# PII patterns kept to the regex subset with identical semantics in Java
+# (Spark) and RE2 (DuckDB) so the oracle can state the exact same rewrite:
+# character classes, \d, \b, bounded repetition — no backreferences/lookaround.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d{7,15}\b", "<PHONE>"),
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """Scrub PII before training: replace emails / IPv4s / intl phone numbers
+    with typed placeholders and count each kind. All native `regexp_replace` /
+    `regexp_count` — per-row inside codegen, zero shuffle, zero Python; at
+    corpus scale this is a map-only rewrite of the text column."""
+    out = docs
+    col = F.col(text_col)
+    for kind in kinds:
+        pat, rep = PII_PATTERNS[kind]
+        out = out.withColumn(f"n_{kind}", F.regexp_count(col, F.lit(pat)).cast("long"))
+    red = col
+    for kind in kinds:
+        pat, rep = PII_PATTERNS[kind]
+        red = F.regexp_replace(red, pat, rep)
+    return out.withColumn(out_col, red)
+
+
 def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Within-document repetition: the fraction of word bigrams that are
     duplicates (Gopher's duplicate-n-gram rule; high values flag boilerplate

@@ -1052,6 +1052,66 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def pii(spark, sf_dir):
+        """PII scrub: emails/IPv4s/intl phones are PLANTED into the document
+        text from doc_id, then the real redaction operator rewrites them; the
+        oracle applies the identical regex chain in DuckDB (patterns restricted
+        to the Java∩RE2 common subset — see operators.textops.PII_PATTERNS)."""
+        from ..operators.textops import redact_pii
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = F.col("doc_id")
+        txt = F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@ex"),
+            (d % 7).cast("string"),
+            F.lit(".org"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" ip 10.0."), (d % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" call +33"), (d + 600000000).cast("string")),
+            ).otherwise(F.lit("")),
+        )
+        planted = docs.select("doc_id", txt.alias("text"))
+        return redact_pii(planted).select(
+            "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
+        )
+
+    from ..operators.textops import PII_PATTERNS as _PII
+
+    _em, _ip, _ph = _PII["email"][0], _PII["ipv4"][0], _PII["phone"][0]
+    q["pii_redaction"] = (
+        pii,
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                 || (CASE WHEN doc_id % 3 = 0
+                          THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                          ELSE '' END)
+                 || (CASE WHEN doc_id % 5 = 0
+                          THEN ' call +33' || CAST(doc_id + 600000000 AS VARCHAR)
+                          ELSE '' END) AS txt
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(txt, '{_em}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(txt, '{_ip}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(txt, '{_ph}')) AS BIGINT) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(
+                   txt, '{_em}', '<EMAIL>', 'g'),
+                        '{_ip}', '<IP>', 'g'),
+                        '{_ph}', '<PHONE>', 'g') AS text_redacted
+        FROM t
+        """,
+    )
+
     def ann(spark, sf_dir):
         from ..operators.similarity import ann_bruteforce_topk
 

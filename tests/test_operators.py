@@ -420,7 +420,7 @@ class TestStreaming:
         assert not q.isActive
 
 
-class TestUrlsAndRepetition:
+class TestTextHygiene:
     def test_canonicalize_rules(self, spark):
         cases = [
             # (raw, expected canonical)
@@ -481,3 +481,23 @@ class TestUrlsAndRepetition:
         assert out.loc[2, "dup_bigram_ratio"] == 0.0
         assert out.loc[3, "n_bigrams"] == 0 and out.loc[3, "dup_bigram_ratio"] == 0.0
         assert out.loc[4, "n_bigrams"] == 0
+
+    def test_redact_pii(self, spark):
+        from osm_data_3d_tiles_spark.operators.textops import redact_pii
+
+        rows = [
+            (1, "mail a.b+c@sub.ex.org and b@x.io, ip 192.168.0.1, call +3361234567 now"),
+            (2, "no pii here, just 1.2 numbers and an at sign @ alone"),
+            (3, "version 1.2.3.4 of the lib"),  # dotted quad redacted by design
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = redact_pii(df).toPandas().set_index("doc_id")
+        assert out.loc[1, "n_email"] == 2
+        assert out.loc[1, "n_ipv4"] == 1
+        assert out.loc[1, "n_phone"] == 1
+        assert (
+            out.loc[1, "text_redacted"]
+            == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE> now"
+        )
+        assert out.loc[2, "n_email"] == 0 and out.loc[2, "text_redacted"] == rows[1][1]
+        assert out.loc[3, "n_ipv4"] == 1
