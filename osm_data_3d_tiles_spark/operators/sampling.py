@@ -1,0 +1,75 @@
+"""Deterministic corpus sampling: hash-based splits and per-host quotas.
+
+Training pipelines never sample with `rand()` — a re-run must land every
+document in the same split, on any cluster size, regardless of partitioning.
+Both operators here key off content-stable hashes so the assignment is a pure
+function of the row:
+
+- ``split_by_hash``: train/val/test assignment from ``xxhash64(id) % buckets``.
+  Map-only, zero shuffle — at 10^12 rows the split is free, and downstream
+  readers filter on the split column with predicate pushdown.
+- ``cap_per_host``: keep at most ``max_docs`` documents per host (RefinedWeb /
+  CCNet-style domain-dominance control — without it a handful of mega-hosts
+  swamp the corpus). One shuffle on the host key; the keep-set is the
+  ``max_docs`` hash-smallest documents, so membership is again independent of
+  partitioning and stable under re-runs. Hot hosts are bounded by definition:
+  the window reads at most the host's rows and emits at most ``max_docs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def split_by_hash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    val_permille: int = 10,
+    test_permille: int = 10,
+    seed: int = 0,
+    out_col: str = "split",
+    bucket_expr: F.Column | None = None,
+) -> DataFrame:
+    """Assign 'train' / 'val' / 'test' deterministically from the id hash.
+
+    ``val_permille`` / ``test_permille`` are out of 1000. ``seed`` shifts the
+    hash so independent experiments draw independent splits. ``bucket_expr``
+    overrides the bucket (int in [0, 1000)) for engine-portable hashing — the
+    oracle contract uses a plain-arithmetic hash DuckDB computes identically;
+    production keeps the default xxhash64."""
+    if val_permille + test_permille > 1000:
+        raise ValueError("val + test permille exceed 1000")
+    bucket = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1000))
+    )
+    split = (
+        F.when(bucket < val_permille, F.lit("val"))
+        .when(bucket < val_permille + test_permille, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.withColumn(out_col, split)
+
+
+def cap_per_host(
+    pages: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    max_docs: int = 1000,
+    rank_expr: F.Column | None = None,
+) -> DataFrame:
+    """Keep the ``max_docs`` hash-smallest documents of each host.
+
+    Hash-ranked (not ts-ranked) so the kept subset is an unbiased,
+    deterministic sample of the host's pages rather than the earliest crawl
+    slice; ``id_col`` breaks hash ties exactly. ``rank_expr`` overrides the
+    hash for engine-portable ranking (see ``split_by_hash``)."""
+    rank = rank_expr if rank_expr is not None else F.xxhash64(F.col(id_col))
+    w = Window.partitionBy(host_col).orderBy(rank, F.col(id_col))
+    return (
+        pages.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_docs)
+        .drop("_rk")
+    )

@@ -1112,6 +1112,60 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def hash_split(spark, sf_dir):
+        """Deterministic train/val/test split. The portable-arithmetic bucket
+        (same int64 ops both engines) goes through the REAL operator via its
+        bucket_expr seam; production defaults to xxhash64 (pytest-pinned)."""
+        from ..operators.sampling import split_by_hash
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bucket = (F.col("doc_id") * F.lit(PX_MUL)) % F.lit(1000)
+        out = split_by_hash(
+            docs, val_permille=100, test_permille=50, bucket_expr=bucket
+        )
+        return out.select("doc_id", "split")
+
+    q["split_by_hash"] = (
+        hash_split,
+        f"""
+        SELECT doc_id,
+               CASE WHEN (doc_id * {PX_MUL}) % 1000 < 100 THEN 'val'
+                    WHEN (doc_id * {PX_MUL}) % 1000 < 150 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+        """,
+    )
+
+    def host_cap(spark, sf_dir):
+        """Per-host quota (domain-dominance control): hosts synthesized from
+        doc_id % 7 (~70 docs/host at sf0.01), capped at 20 hash-smallest."""
+        from ..operators.sampling import cap_per_host
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        host = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"))
+        rank = (F.col("doc_id") * F.lit(BY_MUL)) % F.lit(BY_MOD)
+        out = cap_per_host(
+            docs.withColumn("host", host), max_docs=20, rank_expr=rank
+        )
+        return out.select("host", "doc_id")
+
+    q["cap_per_host"] = (
+        host_cap,
+        f"""
+        WITH h AS (
+          SELECT doc_id, 'site' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                 (doc_id * {BY_MUL}) % {BY_MOD} AS rk
+          FROM documents
+        ),
+        r AS (
+          SELECT host, doc_id,
+                 row_number() OVER (PARTITION BY host ORDER BY rk, doc_id) AS rn
+          FROM h
+        )
+        SELECT host, doc_id FROM r WHERE rn <= 20
+        """,
+    )
+
     def ann(spark, sf_dir):
         from ..operators.similarity import ann_bruteforce_topk
 

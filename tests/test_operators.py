@@ -501,3 +501,39 @@ class TestTextHygiene:
         )
         assert out.loc[2, "n_email"] == 0 and out.loc[2, "text_redacted"] == rows[1][1]
         assert out.loc[3, "n_ipv4"] == 1
+
+
+class TestSampling:
+    def test_split_deterministic_and_proportional(self, documents):
+        from osm_data_3d_tiles_spark.operators.sampling import split_by_hash
+
+        a = split_by_hash(documents, val_permille=100, test_permille=100).toPandas()
+        b = split_by_hash(documents, val_permille=100, test_permille=100).toPandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id").reset_index(drop=True),
+            b.sort_values("doc_id").reset_index(drop=True),
+        )
+        frac = (a["split"] != "train").mean()
+        assert 0.08 < frac < 0.35  # ~20% expected, small-sample slack
+        # different seed -> different assignment
+        c = split_by_hash(documents, val_permille=100, test_permille=100, seed=7).toPandas()
+        merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+        assert (merged["split_a"] != merged["split_c"]).any()
+
+    def test_split_rejects_overfull(self, documents):
+        from osm_data_3d_tiles_spark.operators.sampling import split_by_hash
+
+        with pytest.raises(ValueError):
+            split_by_hash(documents, val_permille=600, test_permille=600)
+
+    def test_cap_per_host(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import cap_per_host
+
+        rows = [(i, f"h{i % 3}") for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "host"])
+        out = cap_per_host(df, max_docs=10).toPandas()
+        per = out.groupby("host")["doc_id"].count()
+        assert (per == 10).all()
+        # deterministic keep-set across runs / partitionings
+        again = cap_per_host(df.repartition(7), max_docs=10).toPandas()
+        assert set(map(tuple, out.values.tolist())) == set(map(tuple, again.values.tolist()))
