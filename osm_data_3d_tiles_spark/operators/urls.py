@@ -39,7 +39,8 @@ def canonical_url_col(url: F.Column) -> F.Column:
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     authority = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # query = first '?' BEFORE any '#': a '?' inside the fragment is not a query
+    query = F.regexp_extract(url, r"^[^?#]*\?([^#]*)", 1)
 
     hostport = F.substring_index(authority, "@", -1)  # strip userinfo
     host = F.lower(F.substring_index(hostport, ":", 1))
@@ -65,7 +66,12 @@ def canonical_url_col(url: F.Column) -> F.Column:
         F.concat(F.lit("?"), qs)
     )
 
-    return F.concat(scheme, F.lit("://"), host, port_part, path_n, q_part)
+    canonical = F.concat(scheme, F.lit("://"), host, port_part, path_n, q_part)
+    # scheme-less / unparseable input: degrade to a stable key (lowercased,
+    # fragment-stripped) instead of a "://" artifact — dedup still groups
+    # consistent spellings, and nothing downstream sees a malformed URL
+    fallback = F.lower(F.substring_index(url, "#", 1))
+    return F.when(scheme == "", fallback).otherwise(canonical)
 
 
 def canonicalize_url(

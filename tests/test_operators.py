@@ -432,6 +432,10 @@ class TestTextHygiene:
             ("http://ex.com/p?gclid=only", "http://ex.com/p"),
             # param ORDER is preserved (reordering conflates distinct URLs)
             ("http://ex.com/p?b=2&a=1", "http://ex.com/p?b=2&a=1"),
+            # '?' inside the fragment is NOT a query string
+            ("http://ex.com/p#frag?utm_source=x", "http://ex.com/p"),
+            # scheme-less input degrades to a stable lowercased key
+            ("Example.COM/Path#f", "example.com/path"),
         ]
         from osm_data_3d_tiles_spark.operators.urls import canonicalize_url
 
