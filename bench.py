@@ -265,10 +265,12 @@ def run_scaling(sf: float) -> dict:
     import subprocess
 
     repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "128"))
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
-    # worst-case budget: base rounds ≈ 9 min + 4 extras ≈ 14 min keeps the full
-    # bench under ~25 min even through a contention spike (in the archived
-    # 0.997 run the best 4N sample arrived by extra #2)
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    # budget: 3 base rounds ≈ 15 min typical + up to 4 extras; the full bench
+    # stays ~20-30 min even through a contention spike (in the archived 0.997
+    # run the best 4N sample arrived by extra #2; the 0.795 run that motivated
+    # rounds=3 had BOTH 4N samples land in the same contention episode with
+    # <4% spread, so convergence-triggered extras could not fire)
     max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "4"))
     samples: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
 
@@ -291,8 +293,13 @@ def run_scaling(sf: float) -> dict:
         return (max(secs) - min(secs)) / min(secs) if len(secs) > 1 else float("inf")
 
     _warm_page_cache(sf)
-    for _ in range(rounds):
-        for cores in (SCALE_N, SCALE_4N):
+    # alternate the level order between rounds: a periodic host-load wave
+    # (the N child runs ~3x longer than the 4N child) can otherwise align
+    # with whichever level always samples second — an unbiased de-phasing,
+    # unlike anything keyed on the measured values
+    for i in range(rounds):
+        order = (SCALE_N, SCALE_4N) if i % 2 == 0 else (SCALE_4N, SCALE_N)
+        for cores in order:
             take(cores)
 
     extra = 0

@@ -541,3 +541,21 @@ class TestSampling:
         # deterministic keep-set across runs / partitionings
         again = cap_per_host(df.repartition(7), max_docs=10).toPandas()
         assert set(map(tuple, out.values.tolist())) == set(map(tuple, again.values.tolist()))
+
+    def test_canonicalize_idempotent(self, spark):
+        """canonical(canonical(u)) == canonical(u) over a messy generated set."""
+        from osm_data_3d_tiles_spark.operators.urls import canonicalize_url
+
+        urls = []
+        for i in range(200):
+            scheme = ["http", "HTTP", "https", "HtTpS"][i % 4]
+            host = f"Sub{i % 5}.ExAmple{i % 3}.com"
+            port = ["", ":80", ":443", ":8080"][i % 4]
+            path = ["", "/", f"/a/{i % 7}", "/x%20y"][i % 4]
+            q = ["", "?a=1", "?utm_source=s&b=2", "?fbclid=f", "?b=2&a=1&utm_x=1"][i % 5]
+            frag = ["", "#f", "#f?notquery"][i % 3]
+            urls.append((i, f"{scheme}://{host}{port}{path}{q}{frag}"))
+        df = spark.createDataFrame(urls, ["i", "url"])
+        once = canonicalize_url(df).select("i", F.col("canonical_url").alias("url"))
+        twice = canonicalize_url(once).toPandas().sort_values("i")
+        assert (twice["url"] == twice["canonical_url"]).all()
