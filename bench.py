@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "decontaminate_ngram",
     "ann_topk",
     "ann_ivf_topk",

@@ -786,6 +786,45 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def dedup_clusters_q(spark, sf_dir):
+        """Transitive near-dup clusters: edges = documents sharing any word
+        5-gram, components via iterative min-label propagation. The oracle
+        states the same closure with a recursive CTE — a genuinely iterative
+        operator, still exactly SQL-checkable."""
+        from ..operators.components import connected_components, shared_ngram_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = shared_ngram_pairs(docs, n=5)
+        cc = connected_components(pairs)
+        return cc.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+
+    q["dedup_clusters"] = (
+        dedup_clusters_q,
+        """
+        WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+          FROM words, UNNEST(generate_series(1, len(w)-4)) AS t(i)
+          WHERE len(w) >= 5
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        ),
+        edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+        reach(node, lab) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, r.lab FROM edges e JOIN reach r ON e.s = r.node
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+        """,
+    )
+
     def decontaminate_q(spark, sf_dir):
         """Benchmark decontamination: per-doc count of distinct 3-grams shared
         with the 'benchmark' reference (every 50th document). Broadcast-Bloom
