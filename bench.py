@@ -40,6 +40,7 @@ HEADLINE = [
     "batch_table_pivot",
     "knn_topk",
     "zonal_stats_rects",
+    "tile_pyramid_counts",
     "height_params",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -256,6 +256,52 @@ def build_queries() -> dict:
         """,
     )
 
+    # ---- tile-pyramid rollup --------------------------------------------------
+    def pyramid_q(spark, sf_dir):
+        """Multi-resolution tile aggregates z16→z10 from one raw scan: leaf
+        groupBy once, coarser levels roll up the persisted leaf aggregate via
+        bit-shift parent keys. Integral measure (doc_id) so sums are exact
+        across engines."""
+        from ..operators.pyramid import pyramid_rollup
+
+        pts = doc_points(spark, sf_dir)
+        cells = pts.select(
+            "doc_id",
+            m.tile_x_col(F.col("x")).alias("tile_x"),
+            m.tile_y_col(F.col("y")).alias("tile_y"),
+        )
+        out = pyramid_rollup(cells, z_leaf=16, z_min=10, measure_col="doc_id")
+        return out.select(
+            "z",
+            "tile_x",
+            "tile_y",
+            F.col("n").cast("long").alias("n"),
+            F.col("m_sum").cast("long").alias("m_sum"),
+            F.col("m_min").cast("long").alias("m_min"),
+            F.col("m_max").cast("long").alias("m_max"),
+        )
+
+    _pyr_levels = "\nUNION ALL\n".join(
+        f"SELECT CAST({z} AS INTEGER) AS z, tx >> {16 - z} AS tile_x, ty >> {16 - z} AS tile_y,"
+        f" CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS m_sum,"
+        f" CAST(MIN(doc_id) AS BIGINT) AS m_min, CAST(MAX(doc_id) AS BIGINT) AS m_max"
+        f" FROM base GROUP BY 2, 3"
+        for z in range(16, 9, -1)
+    )
+    q["tile_pyramid_counts"] = (
+        pyramid_q,
+        f"""
+        WITH pts AS ({DOC_POINTS_SQL}),
+        base AS (
+            SELECT doc_id,
+                   CAST(FLOOR((x + {HALF!r}) / {SPAN!r}) AS BIGINT) AS tx,
+                   CAST(FLOOR(({HALF!r} - y) / {SPAN!r}) AS BIGINT) AS ty
+            FROM pts
+        )
+        {_pyr_levels}
+        """,
+    )
+
     # ---- per-tile batch-table pivot -------------------------------------------
     def batch_pivot(spark, sf_dir):
         pts = doc_points(spark, sf_dir).withColumnRenamed("doc_id", "url")
