@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_text_chunks",
+    "pack_sequences",
     "decontaminate_ngram",
     "ann_topk",
     "ann_ivf_topk",

@@ -910,6 +910,81 @@ def build_webtext_queries() -> dict:
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
     )
 
+    def chunk_dedup_q(spark, sf_dir):
+        """CCNet/C4-style corpus-wide chunk (line) dedup, keep-first by
+        (doc_id, pos). Literal chunk text is the shuffle key so the SQL
+        oracle states the identical result (xxhash64 key is the documented
+        100 TB variant)."""
+        from ..operators.lines import dedup_text_chunks
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup_text_chunks(docs, chunk_words=20)
+
+    q["dedup_text_chunks"] = (
+        chunk_dedup_q,
+        """
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        chunks AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(w[(i*20+1):(i*20+20)], ' ') AS chunk
+          FROM words,
+               UNNEST(generate_series(0, CAST(ceil(len(w) / 20.0) AS BIGINT) - 1)) AS t(i)
+        ),
+        own AS (SELECT chunk, MIN(doc_id * 1048576 + pos) AS own FROM chunks GROUP BY chunk),
+        kept AS (
+          SELECT c.doc_id, c.pos, c.chunk
+          FROM chunks c JOIN own o USING (chunk)
+          WHERE c.doc_id * 1048576 + c.pos = o.own
+        ),
+        agg AS (
+          SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text_dedup,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, CAST(ceil(len(w) / 20.0) AS BIGINT) AS n_chunks FROM words)
+        SELECT t.doc_id, COALESCE(a.text_dedup, '') AS text_dedup,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept, t.n_chunks
+        FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+    )
+
+    def pack_q(spark, sf_dir):
+        """Concat-and-chop sequence packing at 256 tokens: layout equals the
+        global exclusive prefix sum over doc_id order; computed as a two-phase
+        block prefix sum (no single-partition row sort). block_bits=6 so the
+        small fixtures still exercise many blocks."""
+        from ..operators.packing import pack_token_stream
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return pack_token_stream(docs, max_tokens=256, block_bits=6)
+
+    q["pack_sequences"] = (
+        pack_q,
+        """
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+          FROM t
+        ),
+        s AS (
+          SELECT doc_id, n_tok, st, seq_id
+          FROM c, UNNEST(generate_series(st // 256, (st + n_tok - 1) // 256)) AS u(seq_id)
+          WHERE n_tok > 0
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               CAST(GREATEST(st, seq_id * 256) - st AS BIGINT) AS doc_off,
+               CAST(GREATEST(st, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_off,
+               CAST(LEAST(st + n_tok, (seq_id + 1) * 256)
+                    - GREATEST(st, seq_id * 256) AS BIGINT) AS len
+        FROM s
+        """,
+    )
+
     def stopword_ratio(spark, sf_dir):
         # same explode shape as lang_id (codegen over interpreted HOFs)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
