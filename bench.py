@@ -41,6 +41,7 @@ HEADLINE = [
     "knn_topk",
     "zonal_stats_rects",
     "tile_pyramid_counts",
+    "s2_cell_counts",
     "height_params",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1726,6 +1726,29 @@ def build_rows_only_queries() -> dict:
 
     q["doc_fingerprint"] = doc_fingerprint
 
+    def s2_counts(spark, sf_dir):
+        """Doc points bucketed by from-scratch S2 cells (Hilbert curve on
+        cube faces, functions/s2.py): level-16 assignment via one Arrow
+        stage, level-12 ancestor by pure bit math (no second projection),
+        one groupBy. No SQL engine can state the Hilbert id, so the oracle
+        is a pinned golden; semantics ride tests/test_s2.py's property
+        suite (bijectivity, curve adjacency, parent-prefix containment)."""
+        from ..functions import s2
+
+        pts = doc_points(spark, sf_dir)
+        lon = m.lon_col_from_merc(F.col("x"))
+        lat = m.lat_col_from_merc(F.col("y"))
+        d = pts.select(
+            "doc_id", s2.s2_cell_col(lon, lat, 16).alias("cell16")
+        ).withColumn("cell12", s2.s2_parent_col(F.col("cell16"), 12))
+        return d.groupBy("cell12", "cell16").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+
+    q["s2_cell_counts"] = s2_counts
+
     return q
 
 
@@ -1757,6 +1780,7 @@ GOLDEN_ORACLE_QUERIES = [
     "build3d_tiles",
     "building_labels",
     "doc_fingerprint",
+    "s2_cell_counts",
 ]
 
 

@@ -56,6 +56,7 @@ GOLDEN_QUERIES = [
     "build3d_tiles",
     "building_labels",
     "doc_fingerprint",
+    "s2_cell_counts",
 ]
 
 
