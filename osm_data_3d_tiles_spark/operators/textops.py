@@ -74,6 +74,25 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return with_min_parallelism(docs).withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted (like PII_PATTERNS below) to
+# the Java∩RE2 subset so DuckDB's oracle counts the identical tokens: ordered
+# alternation of contractions, optionally-space-prefixed letter runs, digit
+# runs, punctuation runs, then whitespace runs. The real GPT-2 pattern's
+# `\s+(?!\S)` lookahead is dropped (unsupported in RE2); with the ` ?`
+# prefixes absorbing single separators, residual whitespace runs count one
+# token each in both engines.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def with_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex — the second
+    counting mode the brief names next to whitespace counting. Native
+    `regexp_extract_all` + `size`: per-row inside codegen, zero shuffle,
+    zero Python."""
+    n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    return docs.withColumn("n_tokens_bpe", n.cast("long"))
+
+
 # PII patterns kept to the regex subset with identical semantics in Java
 # (Spark) and RE2 (DuckDB) so the oracle can state the exact same rewrite:
 # character classes, \d, \b, bounded repetition — no backreferences/lookaround.

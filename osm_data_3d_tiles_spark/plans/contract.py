@@ -910,6 +910,25 @@ def build_webtext_queries() -> dict:
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
     )
 
+    def token_count_bpe(spark, sf_dir):
+        """BPE-pre-tokenizer counting mode (Java∩RE2 pattern — textops.py)."""
+        from ..operators.textops import with_bpe_token_count
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return with_bpe_token_count(docs).select("doc_id", "n_tokens_bpe")
+
+    from ..operators.textops import BPE_ISH_PATTERN
+
+    q["token_count_bpe"] = (
+        token_count_bpe,
+        f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN.replace("'", "''")}', 0)) AS BIGINT)
+                 AS n_tokens_bpe
+        FROM documents
+        """,
+    )
+
     def chunk_dedup_q(spark, sf_dir):
         """CCNet/C4-style corpus-wide chunk (line) dedup, keep-first by
         (doc_id, pos). Literal chunk text is the shuffle key so the SQL

@@ -559,3 +559,45 @@ class TestSampling:
         once = canonicalize_url(df).select("i", F.col("canonical_url").alias("url"))
         twice = canonicalize_url(once).toPandas().sort_values("i")
         assert (twice["url"] == twice["canonical_url"]).all()
+
+
+class TestBpeTokenCount:
+    def test_matches_python_re_on_adversarial_text(self, spark):
+        """Spark's Java regex and Python's re share leftmost-first ordered
+        alternation, so the same pattern is an independent reference for the
+        branches the plain-word fixtures never exercise."""
+        import re
+
+        from osm_data_3d_tiles_spark.operators.textops import (
+            BPE_ISH_PATTERN,
+            with_bpe_token_count,
+        )
+
+        texts = [
+            "don't stop, we're 42% done... it'll work!!",
+            "  leading and   multi   spaces\tand tabs",
+            "CamelCase mixed123with456digits",
+            "unicode-free punct: ()[]{}<>#@$%^&*",
+            "'s't're've'm'll'd chained contractions",
+            "",
+            "x",
+        ]
+        df = spark.createDataFrame(list(enumerate(texts)), ["i", "text"])
+        got = (
+            with_bpe_token_count(df)
+            .toPandas()
+            .sort_values("i")["n_tokens_bpe"]
+            .tolist()
+        )
+        want = [len(re.findall(BPE_ISH_PATTERN, t)) for t in texts]
+        assert got == want
+
+    def test_hand_counts(self, spark):
+        from osm_data_3d_tiles_spark.operators.textops import with_bpe_token_count
+
+        # "don't go" -> ["don", "'t", " go"]; "a  b" -> ["a", "  ", "b"]
+        # (` ?` absorbs at most one space, so the double space falls to \s+,
+        # which greedily takes both, leaving "b" unprefixed).
+        df = spark.createDataFrame([(0, "don't go"), (1, "a  b")], ["i", "text"])
+        got = with_bpe_token_count(df).toPandas().sort_values("i")["n_tokens_bpe"].tolist()
+        assert got == [3, 3]
