@@ -52,6 +52,7 @@ HEADLINE = [
     "decontaminate_ngram",
     "ann_topk",
     "ann_ivf_topk",
+    "ann_ivf_pq_topk",
     "lang_id",
     "repetition_dup_bigrams",
     "pii_redaction",

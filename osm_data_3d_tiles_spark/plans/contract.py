@@ -1653,6 +1653,21 @@ def build_rows_only_queries() -> dict:
 
     q["ann_ivf_topk"] = ann_ivf
 
+    def ann_ivf_pq(spark, sf_dir):
+        """IVF + product-quantized ADC scan + exact rerank (similarity.py):
+        the probe scan ships m_sub-byte codes instead of float vectors.
+        Deterministic end-to-end → golden oracle; recall gates ride
+        tests/test_operators.py (1.00 vs IVF-flat at the same pruning)."""
+        from ..operators.similarity import ann_ivf_pq_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return ann_ivf_pq_topk(emb, queries, k=10).select("query_id", "rank", "vec_id")
+
+    q["ann_ivf_pq_topk"] = ann_ivf_pq
+
     def langid_ngram(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return with_lang_id(docs).select("doc_id", "predicted_lang")
@@ -1800,6 +1815,7 @@ GOLDEN_ORACLE_QUERIES = [
     "building_labels",
     "doc_fingerprint",
     "s2_cell_counts",
+    "ann_ivf_pq_topk",
 ]
 
 

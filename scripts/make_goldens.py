@@ -57,6 +57,7 @@ GOLDEN_QUERIES = [
     "building_labels",
     "doc_fingerprint",
     "s2_cell_counts",
+    "ann_ivf_pq_topk",
 ]
 
 
