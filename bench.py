@@ -60,6 +60,7 @@ HEADLINE = [
     "agg_pricing_summary",
     "events_tumbling_counts",
     "events_sliding_counts",
+    "events_enriched_counts",
 ]
 
 

@@ -684,6 +684,35 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def enriched(spark, sf_dir):
+        """Stream-static enrichment join (events × customer dim, rolled up by
+        nation) — streaming/events.enriched_tumbling_counts run batch-mode;
+        streaming parity rides tests/test_streaming.py."""
+        from ..streaming.events import enriched_tumbling_counts
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        out = enriched_tumbling_counts(ev, cust, value_expr=_scaled("value"))
+        return out.select(
+            F.col("window_start").cast("long").alias("window_start_epoch"),
+            F.col("dim_attr").cast("long").alias("nation"),
+            "n",
+            F.col("value_sum").cast("long").alias("value_sum_c"),
+        )
+
+    q["events_enriched_counts"] = (
+        enriched,
+        """
+        SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', e.ts)) AS BIGINT) AS window_start_epoch,
+               CAST(c.c_nationkey AS BIGINT) AS nation, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_c
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+        """,
+    )
+
     def sliding(spark, sf_dir):
         # batch-equivalent of streaming/events.sliding_counts: window 10m,
         # hop 5m → every event lands in exactly 2 windows

@@ -120,6 +120,45 @@ def dedup_within_watermark(
     )
 
 
+def enriched_tumbling_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str] = ("user_id", "c_custkey"),
+    attr_col: str = "c_nationkey",
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    value_expr: F.Column | None = None,
+) -> DataFrame:
+    """Stream-static enrichment join + watermarked tumbling rollup.
+
+    The canonical streaming-ingest enrichment: each micro-batch of the event
+    stream inner-joins a STATIC dimension (here: events.user_id →
+    customer.c_custkey, rolled up by nation) before the windowed aggregate.
+    Structured Streaming permits stream-static equi-joins before stateful
+    aggs; the static side is broadcast, so the stream never shuffles for the
+    join — per micro-batch the only stateful exchange is the windowed groupBy,
+    and the watermark bounds its state exactly as in `tumbling_counts`.
+
+    Works batch-or-streaming like the other shapes here (the contract oracle
+    states the batch equivalence in plain SQL; streaming parity is pinned in
+    tests/test_streaming.py)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    d = dim.select(F.col(on[1]).alias(on[0]), F.col(attr_col).alias("dim_attr"))
+    val = value_expr if value_expr is not None else F.col("value")
+    return (
+        src.join(F.broadcast(d), on[0])
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("dim_attr"))
+        .agg(F.count("*").alias("n"), F.sum(val).alias("value_sum"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "dim_attr",
+            "n",
+            "value_sum",
+        )
+    )
+
+
 def stream_pages_from_dir(spark, path: str, schema) -> DataFrame:
     """readStream over a directory of page parquet drops (the ingest pattern for a
     continuously-crawled corpus); combine with plans.pipeline.extract_pages."""

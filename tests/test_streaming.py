@@ -320,3 +320,78 @@ class TestStreamingOwnership:
         ).toPandas().sort_values("event_id")
         assert list(batch["event_id"]) == [1, 2, 3]
         assert batch.set_index("event_id").loc[1, "ts"] == ts  # earliest kept
+
+
+class TestEnrichedCounts:
+    def test_stream_static_join_matches_batch(self, spark, tmp_path):
+        """The stream-static enrichment must produce the same rollup as the
+        identical batch query, across multiple micro-batches."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm_data_3d_tiles_spark.streaming.events import enriched_tumbling_counts
+
+        src_dir = str(tmp_path / "events")
+        os.makedirs(src_dir)
+
+        def write_events(fname, rows):
+            pq.write_table(
+                pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+                os.path.join(src_dir, fname),
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
+
+        ts = pd.Timestamp("2024-01-01 00:01:00")
+        b1 = {
+            "ts": [ts, ts + pd.Timedelta(minutes=1), ts + pd.Timedelta(minutes=7)],
+            "user_id": [0, 1, 2],
+            "value": [1.0, 2.0, 3.0],
+        }
+        b2 = {
+            "ts": [ts + pd.Timedelta(minutes=8), ts + pd.Timedelta(hours=2)],
+            "user_id": [0, 3],
+            "value": [5.0, 0.0],
+        }
+        write_events("b1.parquet", b1)
+
+        dim = spark.createDataFrame(
+            [(u, u % 3) for u in range(4)], ["c_custkey", "c_nationkey"]
+        )
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, value double"
+        ).parquet(src_dir)
+        out = enriched_tumbling_counts(stream, dim)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("enriched_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_enr"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_events("b2.parquet", b2)
+            q.processAllAvailable()
+            got = (
+                spark.sql("select * from enriched_test")
+                .toPandas()
+                .sort_values(["window_start", "dim_attr"])
+                .reset_index(drop=True)
+            )
+        finally:
+            q.stop()
+
+        both = {k: b1[k] + b2[k] for k in b1}
+        batch = spark.createDataFrame(pd.DataFrame(both))
+        want_all = (
+            enriched_tumbling_counts(batch, dim)
+            .toPandas()
+            .sort_values(["window_start", "dim_attr"])
+            .reset_index(drop=True)
+        )
+        # append mode emits only watermark-closed windows; every emitted row
+        # must match the batch rollup exactly, and the closed horizon (both
+        # first-hour windows) must have been emitted
+        want = want_all[want_all.window_start < ts + pd.Timedelta(hours=1)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert len(got) >= 2
