@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "pagerank_fixed",
     "dedup_text_chunks",
     "pack_sequences",
     "decontaminate_ngram",

@@ -900,6 +900,61 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def pagerank_q(spark, sf_dir):
+        """Fixed-point PageRank (operators/graph.py) over a deterministic
+        synthetic link graph (doc_id → (doc_id·k+1) mod N for k in 3,5,7).
+        Integer micro-unit arithmetic makes the iterative result exactly
+        SQL-statable: the oracle unrolls the 5 power iterations as CTEs."""
+        from ..operators.graph import pagerank
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        n = docs.count()
+        parts = [
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * k + 1) % n).alias("dst"),
+            )
+            for k in (3, 5, 7)
+        ]
+        edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        out = pagerank(edges, docs.select(F.col("doc_id").alias("node")), n_iter=5)
+        return out.select(F.col("node").alias("doc_id"), "rank_fp")
+
+    _pr_iters = "".join(
+        f""",
+        r{i} AS (
+          SELECT nd.node,
+                 (3 * 1000000000000) // (20 * (SELECT n FROM cnt))
+                 + COALESCE(c.c, 0) AS r
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM((17 * p.r) // (20 * d.od)) AS BIGINT) AS c
+            FROM edges e JOIN r{i - 1} p ON e.src = p.node
+                         JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) c USING (node)
+        )"""
+        for i in range(1, 6)
+    )
+    q["pagerank_fixed"] = (
+        pagerank_q,
+        f"""
+        WITH nodes AS (SELECT doc_id AS node FROM documents),
+        cnt AS (SELECT COUNT(*) AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM cnt) AS dst FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 5 + 1) % (SELECT n FROM cnt) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 1) % (SELECT n FROM cnt) FROM documents
+        ),
+        deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        r0 AS (SELECT node, 1000000000000 // (SELECT n FROM cnt) AS r FROM nodes)
+        {_pr_iters}
+        SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r5
+        """,
+    )
+
     def decontaminate_q(spark, sf_dir):
         """Benchmark decontamination: per-doc count of distinct 3-grams shared
         with the 'benchmark' reference (every 50th document). Broadcast-Bloom
