@@ -170,3 +170,54 @@ def quality_filter(
         & (F.col("alpha_ratio") >= min_alpha_ratio)
         & (F.col("punct_ratio") <= max_punct_ratio)
     )
+
+
+def top_terms_tfidf(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k distinguishing terms per document by a rarity-weighted score.
+
+    Classic tf-idf selection with one deliberate substitution: the score is
+    the INTEGER surrogate `(tf * N) div df` instead of `tf * ln(N/df)` —
+    monotone increasing in tf and decreasing in df like tf-idf, but exact
+    integer arithmetic, so the DuckDB oracle states the identical rows
+    (libm `ln` may differ across engines in the last ulp, and a value-hash
+    gate has no tolerance). Ties break by term ascending.
+
+    Plan: explode → groupBy(doc, term) [the one wide shuffle; map-side
+    combine collapses repeats first] → per-term document frequency (a small
+    aggregate over the tf table, joined back on term) → per-doc top-k
+    window. At corpus scale the df table is vocabulary-sized — orders of
+    magnitude below the corpus — and hot common terms are bounded by the
+    per-doc dedup the tf grouping already did.
+
+    Output: (doc_id, rn, term, tf, df, score), rn = 1..k.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ", -1)).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = tf.join(df_t, "term").withColumn(
+        "score", F.expr(f"(tf * CAST({n_docs} AS BIGINT)) div df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "doc_id",
+            F.col("rn").cast("long").alias("rn"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "df",
+            F.col("score").cast("long").alias("score"),
+        )
+    )

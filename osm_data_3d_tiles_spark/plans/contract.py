@@ -1088,6 +1088,35 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def tfidf_q(spark, sf_dir):
+        """Top-5 distinguishing terms per doc by the integer tf-idf surrogate
+        (textops.top_terms_tfidf — `(tf*N) div df`, exact cross-engine)."""
+        from ..operators.textops import top_terms_tfidf
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return top_terms_tfidf(docs, k=5)
+
+    q["tfidf_top_terms"] = (
+        tfidf_q,
+        """
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+        dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT doc_id, rn, term, tf, df, score FROM (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 (t.tf * (SELECT n FROM n)) // d.df AS score,
+                 CAST(row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY (t.tf * (SELECT n FROM n)) // d.df DESC, t.term
+                 ) AS BIGINT) AS rn
+          FROM tf t JOIN dft d USING (term)
+        ) WHERE rn <= 5
+        """,
+    )
+
     def stopword_ratio(spark, sf_dir):
         # same explode shape as lang_id (codegen over interpreted HOFs)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

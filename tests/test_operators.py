@@ -646,3 +646,30 @@ class TestBpeTokenCount:
         df = spark.createDataFrame([(0, "don't go"), (1, "a  b")], ["i", "text"])
         got = with_bpe_token_count(df).toPandas().sort_values("i")["n_tokens_bpe"].tolist()
         assert got == [3, 3]
+
+
+class TestTfidfTopTerms:
+    def test_rare_term_outranks_common(self, spark):
+        from osm_data_3d_tiles_spark.operators.textops import top_terms_tfidf
+
+        rows = [
+            (0, "common common rare"),
+            (1, "common common common"),
+            (2, "common other other"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = top_terms_tfidf(df, k=2).toPandas()
+        # doc 0: rare (df=1, score 1*3//1=3) beats common (tf=2, df=3 -> 2*3//3=2)
+        d0 = got[got.doc_id == 0].sort_values("rn")
+        assert d0.term.tolist() == ["rare", "common"]
+        assert d0.score.tolist() == [3, 2]
+        # doc 1 has a single term
+        assert got[got.doc_id == 1].term.tolist() == ["common"]
+
+    def test_tie_breaks_by_term_asc(self, spark):
+        from osm_data_3d_tiles_spark.operators.textops import top_terms_tfidf
+
+        df = spark.createDataFrame([(0, "b a"), (1, "a b")], ["doc_id", "text"])
+        got = top_terms_tfidf(df, k=2).toPandas()
+        for d in (0, 1):
+            assert got[got.doc_id == d].sort_values("rn").term.tolist() == ["a", "b"]
