@@ -71,8 +71,14 @@ def connected_components(
     ).filter(F.col("s") != F.col("d"))
     # symmetrize; duplicate edges are harmless for correctness (min is
     # idempotent) so no distinct shuffle is spent here — pair emitters in this
-    # package already emit each (a, b) once
-    sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # package already emit each (a, b) once.
+    # PERSIST: sym joins into every round — without the cache the whole
+    # upstream pair plan (for shared_ngram_pairs: explode + self-join +
+    # dropDuplicates) re-executes once per iteration (measured 49 s → 11 s
+    # warm at sf0.1 on the dedup_clusters contract query).
+    sym = _register_persist(
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).persist()
+    )
 
     labels = (
         sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))

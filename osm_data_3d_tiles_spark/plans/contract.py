@@ -684,6 +684,51 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def asof_q(spark, sf_dir):
+        """As-of join: every event picks the latest rate snapshot (every 20th
+        event, deduped per (user, ts)) at or before its timestamp. Oracle =
+        DuckDB's NATIVE `ASOF LEFT JOIN` — an independent engine stating the
+        same temporal-join semantics as operators/asof.py's union+window
+        formulation. Money scaled to cents; -1 sentinel for no-snapshot
+        (NULL doubles would NaN-break the hash compare)."""
+        from ..operators.asof import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        snaps = (
+            ev.filter(F.col("event_id") % 20 == 0)
+            .groupBy("user_id", "ts")
+            .agg(F.max(_scaled("value")).alias("rate_c"))
+        )
+        out = asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            snaps,
+            key="user_id",
+            value_cols=("rate_c",),
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("long").alias("ts_epoch"),
+            F.coalesce(F.col("asof_rate_c"), F.lit(-1)).cast("long").alias("rate_c"),
+        )
+
+    q["asof_rate_join"] = (
+        asof_q,
+        """
+        WITH snaps AS (
+          SELECT user_id, ts, MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS rate_c
+          FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id,
+               CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+               CAST(COALESCE(s.rate_c, -1) AS BIGINT) AS rate_c
+        FROM events e ASOF LEFT JOIN snaps s
+          ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+    )
+
     def enriched(spark, sf_dir):
         """Stream-static enrichment join (events × customer dim, rolled up by
         nation) — streaming/events.enriched_tumbling_counts run batch-mode;
