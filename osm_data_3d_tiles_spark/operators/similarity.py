@@ -213,13 +213,20 @@ def _train_pq_codebooks(
     return books
 
 
-def _encode_pq(base: DataFrame, books: np.ndarray, id_col: str) -> DataFrame:
-    """(id, list_id, codes): one narrow Arrow stage — nearest codeword per
-    subspace against the broadcast codebooks. Codes are m_sub small ints; at
-    scale this is the whole point: the probe scan ships m_sub bytes per
-    vector instead of 4·D floats (64-dim float32 → 8 codes = 32×)."""
+def _assign_and_encode_pq(
+    base: DataFrame, cents: np.ndarray, books: np.ndarray, id_col: str
+) -> DataFrame:
+    """(id, list_id, codes) in ONE narrow Arrow stage: IVF nearest-centroid
+    argmax AND per-subspace PQ codeword argmin against the broadcast
+    matrices. Fusing the two means the whole-table index build makes a
+    single pass through the Python boundary (a separate assign stage +
+    encode stage would round-trip every float vector through Arrow twice).
+    Codes are m_sub small ints; at scale that is the point: the probe scan
+    ships m_sub bytes per vector instead of 4·D floats (64-dim float32 →
+    16 codes = 16×)."""
     spark = base.sparkSession
-    bc = spark.sparkContext.broadcast(books)
+    bc_cents = spark.sparkContext.broadcast(np.ascontiguousarray(cents, dtype=np.float64))
+    bc_books = spark.sparkContext.broadcast(books)
     schema = T.StructType(
         [
             base.schema[id_col],
@@ -229,23 +236,20 @@ def _encode_pq(base: DataFrame, books: np.ndarray, id_col: str) -> DataFrame:
     )
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bks = bc.value
+        cm, bks = bc_cents.value, bc_books.value
         m_sub, _, d = bks.shape
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["unit"]])
+            lids = np.argmax(m @ cm.T, axis=1).astype(np.int32)
             codes = np.empty((len(m), m_sub), dtype=np.int16)
             for j in range(m_sub):
                 sub = m[:, j * d : (j + 1) * d]
                 d2 = ((sub[:, None, :] - bks[j][None, :, :]) ** 2).sum(-1)
                 codes[:, j] = np.argmin(d2, axis=1).astype(np.int16)
             yield pd.DataFrame(
-                {
-                    pdf.columns[0]: pdf[pdf.columns[0]],
-                    "list_id": pdf["list_id"],
-                    "codes": list(codes),
-                }
+                {pdf.columns[0]: pdf[pdf.columns[0]], "list_id": lids, "codes": list(codes)}
             )
 
     return base.mapInPandas(_enc, schema=schema)
@@ -297,8 +301,7 @@ def ann_ivf_pq_topk(
     cents = _deterministic_centroids(mat, sample[id_col].to_numpy(), n_list)
     books = _train_pq_codebooks(mat, m_sub=m_sub, n_codes=n_codes)
 
-    assigned = _assign_lists(base, cents, id_col)
-    codes = _encode_pq(assigned, books, id_col)
+    codes = _assign_and_encode_pq(base, cents, books, id_col)
 
     # tiny query set -> collect, unit-normalize, build per-query ADC tables
     qpdf = queries.select(
