@@ -118,3 +118,71 @@ def make_media_fixture(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake PIXEL decode: sha256 of the bytes tiled to an
+    (height, width, 3) uint8 array. The stub stands in for the codec only —
+    everything downstream of it operates on a real pixel array."""
+    n = width * height * 3
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((digest * (n // len(digest) + 1))[:n], dtype=np.uint8)
+    return raw.reshape(height, width, 3).copy()
+
+
+def resize_nearest(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """REAL nearest-neighbor resample — pure numpy index math, no imaging
+    library involved: output pixel (y, x) reads source pixel
+    (floor(y*H/th), floor(x*W/tw))."""
+    h, w = img.shape[:2]
+    yi = (np.arange(target_h) * h) // target_h
+    xi = (np.arange(target_w) * w) // target_w
+    return img[yi][:, xi]
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Image resize as one Arrow stage: decode (stub codec) → nearest-neighbor
+    resample (real kernel) → re-serialized payload with updated dimensions.
+
+    The 100 TB shape is what this pins: payloads stay opaque binary through
+    the scan, only image rows reach the stage (`kind` filter pushed to the
+    reader), metadata travels as typed columns so the target geometry is a
+    plan-time constant, and each Arrow batch is processed without per-row
+    Python object churn beyond the codec call. Swapping `decode_pixels_stub`
+    for a real codec changes no plumbing."""
+    if target_w < 1 or target_h < 1:
+        raise ValueError(f"target dims must be >= 1, got {target_w}x{target_h}")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = [
+                resize_nearest(
+                    decode_pixels_stub(p, int(w), int(h)), target_w, target_h
+                ).tobytes()
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
+    )
+    return imgs.mapInPandas(_resize, schema=RESIZED_SCHEMA)

@@ -1855,6 +1855,19 @@ def build_rows_only_queries() -> dict:
 
     q["multimodal_features"] = multimodal
 
+    def multimodal_resize(spark, sf_dir):
+        """Image resize stage (stub codec + REAL nearest-neighbor kernel,
+        multimodal.resize_images). Binary payloads hash to md5 strings so the
+        driver canonicalizer can sort/compare them."""
+        from ..operators.multimodal import make_media_fixture, resize_images
+
+        media = make_media_fixture(spark, 64)
+        return resize_images(media, 16, 12).select(
+            "media_id", "width", "height", F.md5("payload").alias("payload_md5")
+        )
+
+    q["multimodal_resize"] = multimodal_resize
+
     def mvt_ingest(spark, sf_dir):
         """Checked-in .pbf fixture tile → buildings rows (sources/mvt.py); the
         wire format has no SQL oracle, so correctness rides the round-trip +
@@ -1974,6 +1987,7 @@ GOLDEN_ORACLE_QUERIES = [
     "doc_fingerprint",
     "s2_cell_counts",
     "ann_ivf_pq_topk",
+    "multimodal_resize",
 ]
 
 

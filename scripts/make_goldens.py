@@ -58,6 +58,7 @@ GOLDEN_QUERIES = [
     "doc_fingerprint",
     "s2_cell_counts",
     "ann_ivf_pq_topk",
+    "multimodal_resize",
 ]
 
 

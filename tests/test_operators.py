@@ -673,3 +673,45 @@ class TestTfidfTopTerms:
         got = top_terms_tfidf(df, k=2).toPandas()
         for d in (0, 1):
             assert got[got.doc_id == d].sort_values("rn").term.tolist() == ["a", "b"]
+
+
+class TestResizeImages:
+    def test_resize_shape_and_determinism(self, spark):
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            make_media_fixture,
+            resize_images,
+        )
+
+        media = make_media_fixture(spark, 30)
+        out = resize_images(media, 16, 12).toPandas()
+        n_images = media.filter("kind = 'image'").count()
+        assert len(out) == n_images
+        assert (out.width == 16).all() and (out.height == 12).all()
+        assert out.payload.map(len).eq(16 * 12 * 3).all()
+        again = resize_images(media, 16, 12).toPandas()
+        assert out.sort_values("media_id").payload.tolist() == again.sort_values("media_id").payload.tolist()
+
+    def test_nearest_kernel_exact(self):
+        import numpy as np
+
+        from osm_data_3d_tiles_spark.operators.multimodal import resize_nearest
+
+        img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        up = resize_nearest(img, 12, 8)  # 2x in both axes
+        assert up.shape == (8, 12, 3)
+        # each source pixel becomes a 2x2 block
+        assert (up[0:2, 0:2] == img[0, 0]).all()
+        assert (up[6:8, 10:12] == img[3, 5]).all()
+        down = resize_nearest(img, 3, 2)
+        assert down.shape == (2, 3, 3)
+        assert (down[0, 0] == img[0, 0]).all()
+        assert (down[1, 2] == img[2, 4]).all()
+
+    def test_bad_dims_raise(self, spark):
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            make_media_fixture,
+            resize_images,
+        )
+
+        with pytest.raises(ValueError, match="target dims"):
+            resize_images(make_media_fixture(spark, 3), 0, 4)
