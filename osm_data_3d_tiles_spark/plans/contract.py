@@ -874,6 +874,58 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def pricing_rollup_q(spark, sf_dir):
+        """Hierarchical ROLLUP aggregation — the multi-level batch-table
+        rollup shape (leaf / per-flag / grand-total in ONE pass over the
+        scan via Expand, not three scans). grouping_id disambiguates the
+        subtotal NULLs; group values coalesce to 'ALL' so the canonicalizer
+        never sees a NULL string."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.grouping_id().alias("gid"),
+                F.count("*").alias("n"),
+                F.sum(_scaled("l_extendedprice")).alias("price_c"),
+            )
+            .select(
+                "gid",
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                "n",
+                "price_c",
+            )
+        )
+
+    q["pricing_rollup"] = (
+        pricing_rollup_q,
+        """
+        SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+               COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_c
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+    )
+
+    def kmv_q(spark, sf_dir):
+        """KMV bottom-k distinct sketch (operators/sketches.py): estimated
+        distinct users per event_type from the 64 smallest 40-bit md5
+        hashes. Integer estimator => the approximation itself is
+        oracle-checkable bit-for-bit."""
+        from ..operators.sketches import kmv_distinct
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return kmv_distinct(ev, key="user_id", group="event_type", k=64)
+
+    from ..operators.sketches import kmv_oracle_sql
+
+    q["distinct_kmv_users"] = (
+        kmv_q,
+        kmv_oracle_sql("user_id", "event_type", "events", k=64),
+    )
+
     return q
 
 
@@ -1749,6 +1801,101 @@ def build_webtext_queries() -> dict:
                CAST(FLOOR(4 * hw * hh + 0.5) AS BIGINT) AS roof_area_l,
                CAST(FLOOR((4 * hw + 4 * hh) * (12 + (osm_id % 5) * 4) + 0.5) AS BIGINT) AS wall_area_l
         FROM r0
+        """,
+    )
+
+    def histogram_q(spark, sf_dir):
+        """Corpus length histogram: fixed 500-char buckets, top bucket
+        open-ended — one map-side-combinable groupBy, the profiling pass a
+        curation pipeline runs before choosing filter thresholds."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bucket = F.least(F.expr("n_chars div 500"), F.lit(19)).cast("long")
+        return docs.groupBy(bucket.alias("bucket")).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+
+    q["doc_length_histogram"] = (
+        histogram_q,
+        """
+        SELECT CAST(LEAST(n_chars // 500, 19) AS BIGINT) AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        FROM documents GROUP BY 1
+        """,
+    )
+
+    def sample_q(spark, sf_dir):
+        """Deterministic stratified sampling: downsample the dominant
+        language (en ~ 25%), keep 75% of the rest — the
+        minority-upweighting mix step of a training-data pipeline. The
+        keep/drop decision is a pure function of doc_id (md5 prefix vs a
+        per-stratum threshold): no RNG state, reproducible on any cluster
+        layout, and a filter Catalyst pushes to the scan."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        thresh = F.when(F.col("lang") == "en", F.lit("4000")).otherwise(F.lit("c000"))
+        keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thresh
+        return docs.filter(keep).select("doc_id", "lang")
+
+    q["sample_stratified"] = (
+        sample_q,
+        """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE WHEN lang = 'en' THEN '4000' ELSE 'c000' END
+        """,
+    )
+
+    def triangles_q(spark, sf_dir):
+        """Per-node triangle counts (operators/sketches.py) on a
+        deterministic crawl link graph with guaranteed triangles: doc_id
+        links to doc_id+1, doc_id+2 (ring — every consecutive triple is a
+        3-clique) and 3*doc_id+1 (irregular chords), all mod N,
+        undirected."""
+        from ..operators.sketches import triangle_counts
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        n = docs.count()
+        parts = [
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * k + j) % n).alias("dst"),
+            )
+            for k, j in ((1, 1), (1, 2), (3, 1))
+        ]
+        edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        return triangle_counts(edges).select(
+            F.col("node").cast("long").alias("doc_id"),
+            "n_triangles",
+        )
+
+    q["triangle_counts"] = (
+        triangles_q,
+        """
+        WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM cnt) AS dst FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % (SELECT n FROM cnt) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 3 + 1) % (SELECT n FROM cnt) FROM documents
+        ),
+        e AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM raw WHERE src <> dst
+        ),
+        tri AS (
+          SELECT ab.a, ab.b, bc.b AS c
+          FROM e ab JOIN e bc ON ab.b = bc.a
+                    JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        ),
+        corners AS (
+          SELECT a AS node FROM tri UNION ALL
+          SELECT b FROM tri UNION ALL
+          SELECT c FROM tri
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id, COUNT(*) AS n_triangles
+        FROM corners GROUP BY node
         """,
     )
 

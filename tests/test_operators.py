@@ -715,3 +715,59 @@ class TestResizeImages:
 
         with pytest.raises(ValueError, match="target dims"):
             resize_images(make_media_fixture(spark, 3), 0, 4)
+
+
+class TestSketches:
+    def test_kmv_exact_fallback(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import kmv_distinct
+
+        df = spark.createDataFrame(
+            [(i % 7, "g") for i in range(100)], "v long, grp string"
+        )
+        out = kmv_distinct(df, key="v", group="grp", k=64).collect()
+        assert len(out) == 1
+        assert out[0].n_kept == 7 and out[0].est == 7
+
+    def test_kmv_sketch_path_matches_reference_formula(self, spark):
+        import hashlib
+
+        from osm_data_3d_tiles_spark.operators.sketches import (
+            KMV_HASH_BITS,
+            kmv_distinct,
+        )
+
+        vals = list(range(2000))
+        df = spark.createDataFrame([(v, "g") for v in vals], "v long, grp string")
+        k = 64
+        out = kmv_distinct(df, key="v", group="grp", k=k).collect()[0]
+        hashes = sorted(
+            int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16) for v in set(vals)
+        )
+        expect = ((k - 1) << KMV_HASH_BITS) // hashes[k - 1]
+        assert out.n_kept == k and out.est == expect
+        # bottom-k estimate should land within ~3/sqrt(k) of truth
+        assert abs(out.est - 2000) / 2000 < 3 / (k ** 0.5)
+
+    def test_kmv_bad_k(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import kmv_distinct
+
+        df = spark.createDataFrame([(1, "g")], "v long, grp string")
+        with pytest.raises(ValueError, match="k must be"):
+            kmv_distinct(df, key="v", group="grp", k=1)
+
+    def test_triangles_k4_and_noise(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import triangle_counts
+
+        # K4 on {0,1,2,3}: 4 triangles, every node in 3. Edges given
+        # directed/duplicated/self-looped to exercise the normalizer;
+        # 3-9-10 dangles off a path (no triangle -> absent from output).
+        edges = [(a, b) for a in range(4) for b in range(4)] + [(3, 9), (9, 10)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_triangles_path_graph_empty(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import triangle_counts
+
+        df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+        assert triangle_counts(df).count() == 0
