@@ -2015,6 +2015,39 @@ def build_rows_only_queries() -> dict:
 
     q["multimodal_resize"] = multimodal_resize
 
+    def simplify_rings(spark, sf_dir):
+        """LOD vertex simplification (functions/simplify.py): building
+        rings deterministically over-noded (3 interior vertices per edge,
+        0.2-unit perpendicular sine noise — the redundant-vertex OSM-way
+        shape), then RDP at eps=0.5 recovers a near-minimal ring. Golden
+        pins per-ring vertex counts and an integer fingerprint of every
+        simplified coordinate (JVM-side higher-order aggregate — the
+        Arrow stage returns real rings, the fingerprint is plan-level)."""
+        from ..functions.simplify import simplify_buildings
+
+        sf = min(_sf_of(sf_dir), 0.01)
+        blds = fx.load_fixture(spark, "buildings", sf).filter(
+            F.col("layer") == "buildings"
+        )
+        out = simplify_buildings(blds, eps=0.5, densify=(3, 0.2))
+        coord_fp = F.aggregate(
+            "ring",
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.floor(p[0] * 1000 + 0.5).cast("long")
+            + 3 * F.floor(p[1] * 1000 + 0.5).cast("long"),
+        )
+        return out.select(
+            "osm_id",
+            F.col("ring_idx").cast("long").alias("ring_idx"),
+            "ring_type",
+            F.col("n_before").cast("long").alias("n_before"),
+            F.col("n_after").cast("long").alias("n_after"),
+            coord_fp.alias("coord_fp"),
+        )
+
+    q["simplify_rings"] = simplify_rings
+
     def mvt_ingest(spark, sf_dir):
         """Checked-in .pbf fixture tile → buildings rows (sources/mvt.py); the
         wire format has no SQL oracle, so correctness rides the round-trip +
@@ -2135,6 +2168,7 @@ GOLDEN_ORACLE_QUERIES = [
     "s2_cell_counts",
     "ann_ivf_pq_topk",
     "multimodal_resize",
+    "simplify_rings",
 ]
 
 

@@ -59,6 +59,7 @@ GOLDEN_QUERIES = [
     "s2_cell_counts",
     "ann_ivf_pq_topk",
     "multimodal_resize",
+    "simplify_rings",
 ]
 
 
