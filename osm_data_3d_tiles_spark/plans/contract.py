@@ -208,6 +208,37 @@ def build_queries() -> dict:
         """,
     )
 
+    # ---- hex (H3-style) cell encode ------------------------------------------
+    def hex_counts_q(spark, sf_dir):
+        """Hexagonal cell binning (functions/hexgrid.py): docs assigned to
+        pointy-top hexes of circumradius 75 m via one Arrow stage (packed
+        axial id), unpacked to (q, r) with JVM bit math, then a
+        map-side-combinable count. The oracle re-states the cube-rounding
+        in a DuckDB CTE chain with the identical IEEE evaluation order."""
+        from ..functions.hexgrid import _BIAS, _MASK, _SHIFT, hex_id_col
+
+        pts = doc_points(spark, sf_dir)
+        return (
+            pts.select(hex_id_col(F.col("x"), F.col("y"), 75.0).alias("hid"))
+            .select(
+                (F.shiftright(F.col("hid"), _SHIFT) - F.lit(_BIAS)).alias("hex_q"),
+                (F.col("hid").bitwiseAND(F.lit(_MASK)) - F.lit(_BIAS)).alias("hex_r"),
+            )
+            .groupBy("hex_q", "hex_r")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    from ..functions.hexgrid import hex_cells_sql
+
+    q["hex_cell_counts"] = (
+        hex_counts_q,
+        f"""
+        SELECT hex_q, hex_r, COUNT(*) AS n_docs
+        FROM ({hex_cells_sql(DOC_POINTS_SQL, 75.0)})
+        GROUP BY hex_q, hex_r
+        """,
+    )
+
     # ---- flagship: broadcast cell-prefiltered ray-cast PIP join ---------------
     def pip_join(spark, sf_dir):
         pts = doc_points(spark, sf_dir).withColumnRenamed("doc_id", "url")
