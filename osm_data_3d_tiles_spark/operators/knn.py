@@ -193,3 +193,99 @@ def knn_kring(
     for p in out_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _with_hex(df: DataFrame, x: str, y: str, size: float) -> DataFrame:
+    """Append (hq, hr) axial hex cell columns: ONE Arrow stage computing the
+    packed id, JVM bit math to unpack (avoids evaluating the UDF twice)."""
+    from ..functions.hexgrid import _BIAS, _MASK, _SHIFT, hex_id_col
+
+    return (
+        df.withColumn("_hid", hex_id_col(F.col(x), F.col(y), size))
+        .withColumn("hq", F.shiftright(F.col("_hid"), _SHIFT) - F.lit(_BIAS))
+        .withColumn("hr", F.col("_hid").bitwiseAND(F.lit(_MASK)) - F.lit(_BIAS))
+        .drop("_hid")
+    )
+
+
+def knn_hex_kring(
+    queries: DataFrame,
+    centroids: DataFrame,
+    size: float | None = None,
+    initial_ring: int = 2,
+    max_ring: int = 32,
+) -> DataFrame:
+    """Exact kNN via HEX k-ring expansion (functions/hexgrid.py) — the
+    north rule's "H3 k-ring expansion with distance refinement", on the
+    from-scratch hex lattice. Same output contract as knn_bruteforce.
+
+    Exactness bound: hexes at hex-distance d have centers >= 1.5*size*d
+    apart (the zigzag-minimal displacement of d lattice steps), and any
+    point lies within `size` (circumradius) of its cell center — so after
+    exploring the disk of radius K, every unexplored point is farther than
+    1.5*size*(K+1) - 2*size. A query is complete when its k-th best
+    candidate is STRICTLY inside that bound. Versus the square grid
+    (knn_kring), the hex disk wastes less area per round: the explored
+    region is a hexagon (~83% of the circumscribed disc vs ~64% for the
+    square), so fewer candidates are scanned for the same guarantee.
+    """
+    from ..functions.hexgrid import hex_disk
+
+    spark = queries.sparkSession
+    if size is None:
+        size = m.tile_span(m.Z_LEAF)
+
+    idx = _with_hex(centroids, "cx", "cy", size).persist()
+    remaining = (
+        _with_hex(queries.select("query_id", "x", "y", "k"), "x", "y", size)
+        .localCheckpoint(eager=True)
+    )
+
+    finished_parts: list[DataFrame] = []
+    r = initial_ring
+    while remaining.count() > 0:
+        offsets = [(int(dq), int(dr)) for dq, dr in hex_disk(0, 0, r)]
+        off_df = spark.createDataFrame(offsets, ["dq", "dr"])
+        disc = remaining.crossJoin(F.broadcast(off_df)).select(
+            "query_id",
+            "x",
+            "y",
+            "k",
+            (F.col("hq") + F.col("dq")).alias("hq"),
+            (F.col("hr") + F.col("dr")).alias("hr"),
+        )
+        cand = disc.join(idx, ["hq", "hr"]).select(
+            "query_id", "x", "y", "k", "osm_id", "cx", "cy"
+        )
+        ranked = _with_dist_rank(cand)
+        bound = size * (1.5 * (r + 1) - 2.0)
+        done_ids = (
+            ranked.filter(
+                (F.col("rank") == F.col("k")) & (F.sqrt(F.col("dist2")) < F.lit(bound))
+            )
+            .select("query_id")
+            .localCheckpoint(eager=True)
+        )
+        finished = (
+            ranked.join(done_ids, "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "osm_id", "dist2")
+            .localCheckpoint(eager=True)
+        )
+        finished_parts.append(finished)
+        remaining = remaining.join(done_ids, "query_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if r >= max_ring:
+            break
+        r = min(r * 4, max_ring)
+
+    out_parts = list(finished_parts)
+    if remaining.count() > 0:
+        out_parts.append(
+            knn_bruteforce(remaining.select("query_id", "x", "y", "k"), centroids)
+        )
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -443,6 +443,40 @@ def build_queries() -> dict:
         """,
     )
 
+    def knn_hex(spark, sf_dir):
+        """North-rule literal: kNN by HEX k-ring expansion with exact
+        distance refinement (operators/knn.py::knn_hex_kring on the
+        functions/hexgrid.py lattice). Exact result — same brute-force SQL
+        oracle as the square-grid variant."""
+        from ..operators.knn import knn_hex_kring
+
+        pts = doc_points(spark, sf_dir).filter(F.col("doc_id") < 20)
+        queries = pts.select(
+            F.col("doc_id").alias("query_id"), "x", "y", F.lit(5).alias("k")
+        )
+        cents = rect_buildings(spark, sf_dir).select(
+            "osm_id", F.col("bx").alias("cx"), F.col("by").alias("cy")
+        )
+        return knn_hex_kring(queries, cents).select("query_id", "rank", "osm_id")
+
+    q["knn_hex_topk"] = (
+        knn_hex,
+        f"""
+        WITH pts AS ({DOC_POINTS_SQL}), r AS ({RECTS_SQL}),
+        scored AS (
+            SELECT pts.doc_id AS query_id, r.osm_id,
+                   (r.bx - pts.x) * (r.bx - pts.x) + (r.by - pts.y) * (r.by - pts.y) AS dist2
+            FROM pts, r WHERE pts.doc_id < 20
+        ),
+        ranked AS (
+            SELECT query_id, osm_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist2, osm_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, osm_id FROM ranked WHERE rank <= 5
+        """,
+    )
+
     # ---- zonal stats (rasterize → join → agg) -----------------------------------
     def zonal(spark, sf_dir):
         rects = rect_buildings(spark, sf_dir)

@@ -214,3 +214,33 @@ class TestKNN:
         kring = knn_kring(queries, cents, initial_ring=2, max_ring=16).toPandas()
         key = lambda df: sorted(zip(df["query_id"], df["rank"], df["osm_id"]))
         assert key(brute) == key(kring)
+
+
+class TestKNNHex:
+    def test_hex_kring_equals_bruteforce(self, spark, buildings):
+        from osm_data_3d_tiles_spark.operators.knn import knn_hex_kring
+
+        queries = spark.read.parquet(fx.ensure_fixture("knn_queries")).limit(25)
+        blds = buildings.filter(F.col("layer") == "buildings")
+        cents = building_centroids(blds).persist()
+        brute = knn_bruteforce(queries, cents).toPandas()
+        hexed = knn_hex_kring(queries, cents).toPandas()
+        key = lambda df: sorted(zip(df["query_id"], df["rank"], df["osm_id"]))
+        assert key(brute) == key(hexed)
+        assert len(brute) > 0
+
+    def test_hex_kring_small_cells_forces_expansion(self, spark, buildings):
+        # tiny hexes make the first disk nearly always insufficient -> the
+        # escalation loop and the brute-force fallback both get exercised,
+        # and the result must STILL be exact.
+        from osm_data_3d_tiles_spark.operators.knn import knn_hex_kring
+
+        queries = spark.read.parquet(fx.ensure_fixture("knn_queries")).limit(8)
+        blds = buildings.filter(F.col("layer") == "buildings")
+        cents = building_centroids(blds).persist()
+        brute = knn_bruteforce(queries, cents).toPandas()
+        hexed = knn_hex_kring(
+            queries, cents, size=m.tile_span(16) / 8, initial_ring=1, max_ring=4
+        ).toPandas()
+        key = lambda df: sorted(zip(df["query_id"], df["rank"], df["osm_id"]))
+        assert key(brute) == key(hexed)
