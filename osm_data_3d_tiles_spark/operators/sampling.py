@@ -73,3 +73,32 @@ def cap_per_host(
         .filter(F.col("_rk") <= max_docs)
         .drop("_rk")
     )
+
+
+def exact_quantiles(
+    df: DataFrame, value: str, group: str, tiebreak: str
+) -> DataFrame:
+    """Exact distributed discrete quantiles (median + p90) per group.
+
+    At 100 TB `percentile_approx` is the usual answer, but training-data
+    curation thresholds ("drop the shortest decile") want exact, engine-
+    reproducible cut points. Discrete selection by rank avoids the
+    interpolation arithmetic that differs across engines: ONE shuffle
+    (the window sort on (value, tiebreak)), then a map-side-combinable
+    conditional aggregation picks out rank ceil(n/2) and ceil(0.9n).
+    Returns (group, n, median, p90) with the value column's exact values.
+    """
+    w_rank = Window.partitionBy(group).orderBy(value, tiebreak)
+    w_all = Window.partitionBy(group)
+    ranked = (
+        df.select(group, value, tiebreak)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_all))
+        .withColumn("m_rank", F.expr("(n + 1) div 2"))
+        .withColumn("p90_rank", F.expr("(9 * n + 9) div 10"))
+    )
+    return ranked.groupBy(group).agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.col("m_rank"), F.col(value))).alias("median"),
+        F.max(F.when(F.col("rn") == F.col("p90_rank"), F.col(value))).alias("p90"),
+    )

@@ -991,6 +991,71 @@ def build_relational_queries() -> dict:
         kmv_oracle_sql("user_id", "event_type", "events", k=64),
     )
 
+    def digest_q(spark, sf_dir):
+        """Bucket-digest reconciliation (operators/reconcile.py): 64
+        order-independent SUM-of-row-hash digests over lineitem — the
+        O(buckets) table-compare primitive."""
+        from ..operators.reconcile import table_digest
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return table_digest(li, ["l_orderkey", "l_linenumber", "l_returnflag"])
+
+    from ..operators.reconcile import digest_oracle_sql
+
+    q["table_digest"] = (
+        digest_q,
+        digest_oracle_sql(
+            ["l_orderkey", "l_linenumber", "l_returnflag"], "lineitem"
+        ),
+    )
+
+    def snapshot_diff_q(spark, sf_dir):
+        """CDC snapshot diff (operators/reconcile.py): two synthetic orders
+        snapshots (old: keys %10!=0; new: keys %7!=0, price bumped +100
+        cents on keys %5==0) classified inserted/deleted/changed by one
+        full-outer join."""
+        from ..operators.reconcile import snapshot_diff
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        price_c = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+            "o_orderkey", price_c.alias("price_c")
+        )
+        bump = F.when(F.col("o_orderkey") % 5 == 0, F.lit(100)).otherwise(F.lit(0))
+        new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+            "o_orderkey", (price_c + bump).alias("price_c")
+        )
+        return snapshot_diff(old, new, key="o_orderkey", value="price_c")
+
+    q["snapshot_diff"] = (
+        snapshot_diff_q,
+        """
+        WITH o AS (
+            SELECT o_orderkey AS k,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS old_value
+            FROM orders WHERE o_orderkey % 10 <> 0
+        ),
+        n AS (
+            SELECT o_orderkey AS k,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS new_value
+            FROM orders WHERE o_orderkey % 7 <> 0
+        ),
+        j AS (
+            SELECT COALESCE(o.k, n.k) AS o_orderkey, old_value, new_value
+            FROM o FULL OUTER JOIN n ON o.k = n.k
+        )
+        SELECT o_orderkey,
+               CASE WHEN old_value IS NULL THEN 'inserted'
+                    WHEN new_value IS NULL THEN 'deleted'
+                    WHEN old_value <> new_value THEN 'changed' END AS change_type,
+               COALESCE(old_value, -1) AS old_value,
+               COALESCE(new_value, -1) AS new_value
+        FROM j
+        WHERE old_value IS NULL OR new_value IS NULL OR old_value <> new_value
+        """,
+    )
+
     return q
 
 
@@ -1908,6 +1973,31 @@ def build_webtext_queries() -> dict:
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
               < CASE WHEN lang = 'en' THEN '4000' ELSE 'c000' END
+        """,
+    )
+
+    def quantiles_q(spark, sf_dir):
+        """Exact discrete quantiles per language (operators/sampling.py):
+        rank-selection median + p90 of n_chars — the curation-threshold
+        primitive, interpolation-free so it's engine-exact."""
+        from ..operators.sampling import exact_quantiles
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return exact_quantiles(docs, value="n_chars", group="lang", tiebreak="doc_id")
+
+    q["doc_length_quantiles"] = (
+        quantiles_q,
+        """
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS median,
+               MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90
+        FROM ranked GROUP BY lang
         """,
     )
 

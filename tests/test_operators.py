@@ -771,3 +771,81 @@ class TestSketches:
 
         df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
         assert triangle_counts(df).count() == 0
+
+
+class TestReconcile:
+    def test_digest_detects_single_row_change(self, spark):
+        from osm_data_3d_tiles_spark.operators.reconcile import table_digest
+
+        a = spark.createDataFrame([(i, "x") for i in range(200)], "k long, v string")
+        b = spark.createDataFrame(
+            [(i, "x") for i in range(200) if i != 77] + [(77, "y")], "k long, v string"
+        )
+        da = table_digest(a, ["k", "v"], n_buckets=16).toPandas().set_index("bucket")
+        db = table_digest(b, ["k", "v"], n_buckets=16).toPandas().set_index("bucket")
+        diff = (da["digest"] != db["digest"]).sum()
+        # exactly the bucket(s) holding row 77's old/new hash disagree
+        assert 1 <= diff <= 2
+        assert (da["n_rows"].sum() == db["n_rows"].sum() == 200)
+
+    def test_digest_order_independent(self, spark):
+        from osm_data_3d_tiles_spark.operators.reconcile import table_digest
+
+        rows = [(i, f"s{i%7}") for i in range(300)]
+        a = spark.createDataFrame(rows, "k long, v string").repartition(7)
+        b = spark.createDataFrame(rows[::-1], "k long, v string").repartition(3)
+        da = table_digest(a, ["k", "v"]).toPandas().sort_values("bucket").reset_index(drop=True)
+        db = table_digest(b, ["k", "v"]).toPandas().sort_values("bucket").reset_index(drop=True)
+        assert da.equals(db)
+
+    def test_digest_bad_buckets(self, spark):
+        from osm_data_3d_tiles_spark.operators.reconcile import table_digest
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="n_buckets"):
+            table_digest(df, ["k"], n_buckets=0)
+
+    def test_snapshot_diff_classes(self, spark):
+        from osm_data_3d_tiles_spark.operators.reconcile import snapshot_diff
+
+        old = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+        new = spark.createDataFrame([(2, 20), (3, 99), (4, 40)], "k long, v long")
+        got = {
+            r.k: (r.change_type, r.old_value, r.new_value)
+            for r in snapshot_diff(old, new, "k", "v").collect()
+        }
+        assert got == {
+            1: ("deleted", 10, -1),
+            3: ("changed", 30, 99),
+            4: ("inserted", -1, 40),
+        }
+
+
+class TestExactQuantiles:
+    def test_small_group_known_values(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import exact_quantiles
+
+        rows = [("a", v, i) for i, v in enumerate([5, 1, 9, 3, 7])]  # sorted: 1 3 5 7 9
+        rows += [("b", v, i) for i, v in enumerate([10, 20])]
+        df = spark.createDataFrame(rows, "g string, v long, t long")
+        got = {r.g: (r.n, r.median, r.p90) for r in
+               exact_quantiles(df, "v", "g", "t").collect()}
+        # n=5: median rank 3 -> 5; p90 rank (45+9)//10 = 5 -> 9
+        assert got["a"] == (5, 5, 9)
+        # n=2: median rank 1 -> 10; p90 rank (18+9)//10 = 2 -> 20
+        assert got["b"] == (2, 10, 20)
+
+    def test_matches_numpy_on_random(self, spark):
+        import numpy as np
+
+        from osm_data_3d_tiles_spark.operators.sampling import exact_quantiles
+
+        rng = np.random.RandomState(11)
+        vals = rng.randint(0, 10_000, size=999)
+        df = spark.createDataFrame(
+            [("g", int(v), i) for i, v in enumerate(vals)], "g string, v long, t long"
+        )
+        r = exact_quantiles(df, "v", "g", "t").collect()[0]
+        srt = np.sort(vals)
+        assert r.median == srt[(999 + 1) // 2 - 1]
+        assert r.p90 == srt[(9 * 999 + 9) // 10 - 1]
