@@ -34,3 +34,36 @@ def zonal_stats(buildings: DataFrame, raster: DataFrame, z: int = 16) -> DataFra
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
     )
+
+
+def overlay_area_join(rects: DataFrame, zones: DataFrame) -> DataFrame:
+    """Polygon-overlay area join for axis-aligned footprints: every
+    (building, zone) pair with positive intersection, plus the exact
+    intersection area in scaled integer cents.
+
+    rects(osm_id, x0, y0, x1, y1) × zones(zone_id, zx0, zy0, zx1, zy1) →
+    (osm_id, zone_id, overlap_area_c).
+
+    Plan shape: zones are a dimension (admin boundaries, grid cells) —
+    broadcast them and let the clipped-extent predicate run inside the
+    broadcast join; the big fact side is never shuffled. Arbitrary-polygon
+    overlays ride the same plan with the clip kernel swapped in
+    (Sutherland–Hodgman in an Arrow stage); the rect case keeps the whole
+    computation JVM-side in whole-stage codegen.
+    """
+    ow = F.least(F.col("x1"), F.col("zx1")) - F.greatest(F.col("x0"), F.col("zx0"))
+    oh = F.least(F.col("y1"), F.col("zy1")) - F.greatest(F.col("y0"), F.col("zy0"))
+    return (
+        rects.join(
+            F.broadcast(zones),
+            (F.col("x0") < F.col("zx1"))
+            & (F.col("x1") > F.col("zx0"))
+            & (F.col("y0") < F.col("zy1"))
+            & (F.col("y1") > F.col("zy0")),
+        )
+        .select(
+            "osm_id",
+            "zone_id",
+            F.floor(ow * oh * 100 + F.lit(0.5)).cast("long").alias("overlap_area_c"),
+        )
+    )

@@ -32,7 +32,7 @@ from ..functions.params import HEIGHT_KERNEL_SQL, with_building_params
 from ..operators.knn import knn_kring
 from ..operators.ownership import owner_tiles
 from ..operators.spatial_join import spatial_join
-from ..operators.zonal import zonal_stats
+from ..operators.zonal import overlay_area_join, zonal_stats
 from ..operators.cells import building_cells
 from ..operators.dedup import exact_dedup
 
@@ -474,6 +474,46 @@ def build_queries() -> dict:
             FROM scored
         )
         SELECT query_id, rank, osm_id FROM ranked WHERE rank <= 5
+        """,
+    )
+
+    # ---- polygon overlay area join ---------------------------------------------
+    _ZW = W / 5.0
+    _ZH = H / 5.0
+
+    def overlay_q(spark, sf_dir):
+        """Overlay area join (operators/zonal.py::overlay_area_join):
+        rect footprints × a 5×5 admin-zone grid (from nation), exact
+        intersection areas in cents, zones broadcast."""
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        zones = nation.select(
+            F.col("n_nationkey").alias("zone_id"),
+            (F.lit(MINX) + (F.col("n_nationkey") % 5).cast("double") * F.lit(_ZW)).alias("zx0"),
+            (F.lit(MINY) + F.expr("n_nationkey div 5").cast("double") * F.lit(_ZH)).alias("zy0"),
+            (F.lit(MINX) + ((F.col("n_nationkey") % 5) + 1).cast("double") * F.lit(_ZW)).alias("zx1"),
+            (F.lit(MINY) + (F.expr("n_nationkey div 5") + 1).cast("double") * F.lit(_ZH)).alias("zy1"),
+        )
+        rects = rect_buildings(spark, sf_dir).select("osm_id", "x0", "y0", "x1", "y1")
+        return overlay_area_join(rects, zones)
+
+    q["overlay_zones"] = (
+        overlay_q,
+        f"""
+        WITH z AS (
+            SELECT n_nationkey AS zone_id,
+                   {MINX!r} + CAST(n_nationkey % 5 AS DOUBLE) * {_ZW!r} AS zx0,
+                   {MINY!r} + CAST(n_nationkey // 5 AS DOUBLE) * {_ZH!r} AS zy0,
+                   {MINX!r} + CAST((n_nationkey % 5) + 1 AS DOUBLE) * {_ZW!r} AS zx1,
+                   {MINY!r} + CAST((n_nationkey // 5) + 1 AS DOUBLE) * {_ZH!r} AS zy1
+            FROM nation
+        ),
+        r AS ({RECTS_XY_SQL})
+        SELECT r.osm_id, z.zone_id,
+               CAST(FLOOR((LEAST(x1, zx1) - GREATEST(x0, zx0))
+                          * (LEAST(y1, zy1) - GREATEST(y0, zy0)) * 100 + 0.5) AS BIGINT)
+                   AS overlap_area_c
+        FROM r JOIN z
+          ON r.x0 < z.zx1 AND r.x1 > z.zx0 AND r.y0 < z.zy1 AND r.y1 > z.zy0
         """,
     )
 
@@ -1053,6 +1093,54 @@ def build_relational_queries() -> dict:
                COALESCE(new_value, -1) AS new_value
         FROM j
         WHERE old_value IS NULL OR new_value IS NULL OR old_value <> new_value
+        """,
+    )
+
+    def interval_q(spark, sf_dir):
+        """Bucketed range join (operators/interval.py): events × 25
+        overlapping maintenance windows (from nation, anchored at the
+        corpus min timestamp, 1800 s stride / 2700 s length) via
+        bucket-explode + hash equi-join instead of a nested-loop join;
+        per-window event count + scaled value sum."""
+        from ..operators.interval import bucketed_range_join
+
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts_epoch", F.col("ts").cast("timestamp").cast("long"))
+        )
+        base = ev.agg(F.min("ts_epoch")).first()[0]
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        wins = nation.select(
+            F.col("n_nationkey").alias("window_id"),
+            (F.lit(base) + F.col("n_nationkey") * 1800).alias("start_epoch"),
+            (F.lit(base) + F.col("n_nationkey") * 1800 + 2700).alias("end_epoch"),
+        )
+        joined = bucketed_range_join(
+            ev.select("event_id", "ts_epoch", "value"), wins, bucket_s=2700
+        )
+        return joined.groupBy("window_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("value_sum_c"),
+        )
+
+    q["interval_join_counts"] = (
+        interval_q,
+        """
+        WITH base AS (
+            SELECT MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS b FROM events
+        ),
+        wins AS (
+            SELECT n_nationkey AS window_id,
+                   (SELECT b FROM base) + n_nationkey * 1800 AS start_epoch,
+                   (SELECT b FROM base) + n_nationkey * 1800 + 2700 AS end_epoch
+            FROM nation
+        )
+        SELECT window_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_c
+        FROM events JOIN wins
+          ON CAST(FLOOR(epoch(ts)) AS BIGINT) >= start_epoch
+         AND CAST(FLOOR(epoch(ts)) AS BIGINT) < end_epoch
+        GROUP BY window_id
         """,
     )
 
@@ -1973,6 +2061,41 @@ def build_webtext_queries() -> dict:
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
               < CASE WHEN lang = 'en' THEN '4000' ELSE 'c000' END
+        """,
+    )
+
+    def centroids_q(spark, sf_dir):
+        """Per-label embedding centroids in fixed point: posexplode the
+        vector column, scale each float32 component to integer micro-units
+        (exact after the float→double widening), SUM per (label, dim) —
+        order-independent, so the float "mean vector" is exactly
+        SQL-statable. Emits (n, sum_fp) rather than the quotient: the
+        components are signed and Spark `div` (truncate) differs from a
+        floor division on negatives."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        exploded = emb.select(
+            "label", F.posexplode("embedding").alias("dim", "v")
+        ).filter(F.col("dim") < 8)
+        fp = F.floor(F.col("v").cast("double") * 1000000 + 0.5).cast("long")
+        return exploded.groupBy("label", "dim").agg(
+            F.count("*").alias("n"), F.sum(fp).alias("sum_fp")
+        ).select(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            "sum_fp",
+        )
+
+    q["label_centroids"] = (
+        centroids_q,
+        """
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(i - 1 AS BIGINT) AS dim,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_fp
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        WHERE i <= 8
+        GROUP BY 1, 2
         """,
     )
 

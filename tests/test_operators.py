@@ -849,3 +849,66 @@ class TestExactQuantiles:
         srt = np.sort(vals)
         assert r.median == srt[(999 + 1) // 2 - 1]
         assert r.p90 == srt[(9 * 999 + 9) // 10 - 1]
+
+
+class TestIntervalJoin:
+    def test_matches_naive_nonequi(self, spark):
+        from osm_data_3d_tiles_spark.operators.interval import bucketed_range_join
+
+        import numpy as np
+        rng = np.random.RandomState(5)
+        evs = [(int(i), int(rng.randint(0, 100_000))) for i in range(400)]
+        wins = [(int(j), int(s), int(s + rng.randint(1, 20_000)))
+                for j, s in enumerate(rng.randint(0, 100_000, size=30))]
+        ev = spark.createDataFrame(evs, "event_id long, ts_epoch long")
+        w = spark.createDataFrame(wins, "window_id long, start_epoch long, end_epoch long")
+        got = bucketed_range_join(ev, w, bucket_s=5000).select(
+            "event_id", "window_id").toPandas()
+        naive = {(e, j) for e, t in evs for j, s, x in wins if s <= t < x}
+        assert set(zip(got.event_id, got.window_id)) == naive
+
+    def test_window_shorter_and_longer_than_bucket(self, spark):
+        from osm_data_3d_tiles_spark.operators.interval import bucketed_range_join
+
+        ev = spark.createDataFrame([(1, 50), (2, 1500), (3, 9999)],
+                                   "event_id long, ts_epoch long")
+        w = spark.createDataFrame([(10, 0, 100), (11, 40, 10_000)],
+                                  "window_id long, start_epoch long, end_epoch long")
+        got = bucketed_range_join(ev, w, bucket_s=1000).select(
+            "event_id", "window_id").toPandas()
+        assert set(zip(got.event_id, got.window_id)) == {(1, 10), (1, 11), (2, 11), (3, 11)}
+
+    def test_bad_bucket(self, spark):
+        from osm_data_3d_tiles_spark.operators.interval import bucketed_range_join
+
+        df = spark.createDataFrame([(1, 1)], "event_id long, ts_epoch long")
+        with pytest.raises(ValueError, match="bucket_s"):
+            bucketed_range_join(df, df, bucket_s=0)
+
+
+class TestOverlayJoin:
+    def test_known_overlaps(self, spark):
+        from osm_data_3d_tiles_spark.operators.zonal import overlay_area_join
+
+        rects = spark.createDataFrame(
+            [(1, 0.0, 0.0, 10.0, 10.0), (2, 95.0, 95.0, 105.0, 105.0)],
+            "osm_id long, x0 double, y0 double, x1 double, y1 double",
+        )
+        zones = spark.createDataFrame(
+            [(0, 0.0, 0.0, 100.0, 100.0), (1, 100.0, 100.0, 200.0, 200.0)],
+            "zone_id long, zx0 double, zy0 double, zx1 double, zy1 double",
+        )
+        got = {(r.osm_id, r.zone_id): r.overlap_area_c
+               for r in overlay_area_join(rects, zones).collect()}
+        # rect 1 fully inside zone 0 (area 100 -> 10000c); rect 2 straddles:
+        # 5x5=25 in each zone -> 2500c
+        assert got == {(1, 0): 10000, (2, 0): 2500, (2, 1): 2500}
+
+    def test_touching_edges_excluded(self, spark):
+        from osm_data_3d_tiles_spark.operators.zonal import overlay_area_join
+
+        rects = spark.createDataFrame([(1, 0.0, 0.0, 10.0, 10.0)],
+            "osm_id long, x0 double, y0 double, x1 double, y1 double")
+        zones = spark.createDataFrame([(0, 10.0, 0.0, 20.0, 10.0)],
+            "zone_id long, zx0 double, zy0 double, zx1 double, zy1 double")
+        assert overlay_area_join(rects, zones).count() == 0
