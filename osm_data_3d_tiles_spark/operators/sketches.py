@@ -136,3 +136,122 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def misra_gries_candidates(
+    items: DataFrame, col: str = "item", capacity: int = 4096
+) -> DataFrame:
+    """Per-partition Misra–Gries frequent-items summaries (Misra & Gries
+    1982; merge rule per Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+    Emits (item, lower_count, NULL, NULL) rows — at most `capacity` per input
+    partition — plus ONE (NULL, NULL, n_p, T_p) marker row per non-empty
+    partition carrying the partition's raw row count and its total decrement
+    threshold mass T_p = sum of per-flush thresholds, so the caller gets both
+    N and the EXACT candidate-miss bound in the same pass.
+    Guarantee: an item missing from partition p's summary has partition
+    frequency <= T_p (<= n_p/capacity), so an item missing from EVERY
+    summary has global frequency <= sum_p T_p. That makes this
+    the candidate-generation stage of an exact two-pass top-k: at 10^12 rows
+    the first pass reduces each scan partition to `capacity` rows map-side
+    (no shuffle at all), and only candidates are ever hash-aggregated.
+
+    Batched decrement: after merging an Arrow batch's value_counts into the
+    running dict, if the dict exceeds capacity, subtract the (size-capacity)-th
+    smallest count from every counter and drop the non-positives — one
+    vectorized numpy pass per batch instead of per-item decrements.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    import pandas as pd
+
+    out_schema = f"{col} string, lower_count long, n_rows long, decremented long"
+
+    def summarize(batches):
+        counters: dict = {}
+        n_rows = 0
+        decremented = 0
+        for pdf in batches:
+            n_rows += len(pdf)
+            vc = pdf[col].value_counts()
+            for item, n in vc.items():
+                counters[item] = counters.get(item, 0) + int(n)
+            if len(counters) > capacity:
+                import numpy as np
+
+                vals = np.fromiter(counters.values(), dtype="int64")
+                # subtracting t from all counters removes at least the
+                # (size-capacity) smallest ones; any item evicted here had
+                # count <= accumulated thresholds, so sum(t) bounds the
+                # frequency of anything this summary can have missed
+                t = int(np.partition(vals, len(vals) - capacity - 1)[
+                    len(vals) - capacity - 1])
+                counters = {k: v - t for k, v in counters.items() if v - t > 0}
+                decremented += t
+        if n_rows:
+            yield pd.DataFrame(
+                {col: list(counters.keys()) + [None],
+                 "lower_count": list(counters.values()) + [None],
+                 "n_rows": [None] * len(counters) + [n_rows],
+                 "decremented": [None] * len(counters) + [decremented]}
+            )
+
+    return items.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        summarize, schema=out_schema
+    )
+
+
+def heavy_hitters(
+    items: DataFrame, col: str = "item", k: int = 25, capacity: int = 4096
+) -> DataFrame:
+    """EXACT top-k most frequent items via candidate generation + recount.
+
+    Two passes over the data, zero wide shuffles on the raw item stream:
+      1. map-side Misra–Gries per partition -> <=capacity candidates each
+         (misra_gries_candidates); distinct candidate ids are broadcast.
+      2. semi-join the raw stream to the candidates, exact groupBy count,
+         global top-k with a deterministic (count DESC, item ASC) tiebreak.
+
+    Exactness: pass 1 provably retains every item with frequency greater
+    than the summed decrement mass sum_p T_p (<= N/capacity, usually far
+    smaller), so the result is the exact top-k whenever the k-th count
+    clears that bar; when fewer than k items survive, it is exact iff no
+    decrement ever fired (the summaries then hold the whole domain).
+    Violations raise with the measured margin rather than silently
+    returning a maybe-wrong list (the repo's no-silent-caps rule).
+
+    The whole computation is therefore oracle-statable as plain
+    GROUP BY / ORDER BY / LIMIT SQL even though the scale path never
+    aggregates the full item domain.
+    """
+    items = items.select(F.col(col).cast("string").alias(col))
+    summ = misra_gries_candidates(items, col, capacity).persist()
+    try:
+        miss_bound = summ.filter(F.col(col).isNull()).agg(
+            F.sum("decremented")
+        ).first()[0] or 0
+        cands = summ.filter(F.col(col).isNotNull()).select(col).distinct()
+        counts = (
+            items.join(F.broadcast(cands), col, "left_semi")
+            .groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+        )
+        top = counts.orderBy(F.desc("cnt"), F.asc(col)).limit(k)
+        rows = top.collect()
+    finally:
+        summ.unpersist()
+    # full top-k: exact iff the k-th count beats anything a summary could
+    # have missed; short list: exact iff nothing was ever decremented
+    # (summaries then hold the entire domain)
+    not_exact = (
+        rows[-1]["cnt"] <= miss_bound if len(rows) == k else miss_bound > 0
+    )
+    if not_exact:
+        kth = rows[-1]["cnt"] if rows else 0
+        raise ValueError(
+            f"heavy_hitters not provably exact: k-th count {kth} (of "
+            f"{len(rows)} rows) vs candidate-miss bound {miss_bound} "
+            f"(capacity {capacity}); raise capacity"
+        )
+    return items.sparkSession.createDataFrame(rows, top.schema)

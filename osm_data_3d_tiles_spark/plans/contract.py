@@ -1144,6 +1144,44 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def retention_q(spark, sf_dir):
+        """Cohort retention: cohort = each user's first-active day; cell
+        (cohort_day, day_offset) counts distinct users active that many
+        days after joining. The first-activity table is a user-sized
+        dimension -> broadcast; the fact side shuffles once for the final
+        distinct-count aggregation."""
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select(
+                "user_id",
+                F.expr("cast(cast(ts as timestamp) as long) div 86400").alias("day"),
+            )
+        )
+        first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+        return (
+            ev.join(F.broadcast(first), "user_id")
+            .groupBy(
+                "cohort_day",
+                (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+            )
+            .agg(F.countDistinct("user_id").alias("n_users"))
+        )
+
+    q["user_retention_days"] = (
+        retention_q,
+        """
+        WITH e AS (
+            SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+            FROM events
+        ),
+        f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+        SELECT cohort_day, e.day - f.cohort_day AS day_offset,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM e JOIN f USING (user_id)
+        GROUP BY 1, 2
+        """,
+    )
+
     return q
 
 
@@ -2174,6 +2212,35 @@ def build_webtext_queries() -> dict:
         )
         SELECT CAST(node AS BIGINT) AS doc_id, COUNT(*) AS n_triangles
         FROM corners GROUP BY node
+        """,
+    )
+
+    def top_tokens_q(spark, sf_dir):
+        """Exact corpus top-25 tokens via the two-pass heavy-hitter plan
+        (operators/sketches.py::heavy_hitters): map-side Misra-Gries
+        candidate summaries (zero shuffle over the token stream), broadcast
+        semi-join recount of candidates only, runtime-certified exact
+        against the measured decrement mass."""
+        from ..operators.sketches import heavy_hitters
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+        ).filter(F.col("token") != "")
+        return heavy_hitters(toks, "token", k=25, capacity=1024)
+
+    q["top_tokens"] = (
+        top_tokens_q,
+        """
+        WITH toks AS (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+            FROM documents
+        )
+        SELECT token, COUNT(*) AS cnt
+        FROM toks WHERE token <> ''
+        GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT 25
         """,
     )
 

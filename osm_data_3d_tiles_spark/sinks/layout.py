@@ -21,6 +21,7 @@ metadata and silently reintroduces the shuffle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -54,3 +55,68 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: li
     BroadcastHashJoin and mark the scans `Bucketed: false (disabled by query
     planner)` — correct, but not the layout being exercised here."""
     return spark.table(left_table).hint("merge").join(spark.table(right_table), on)
+
+
+def write_clustered(
+    df: DataFrame, path: str, cell_col: str = "cell", prefix_shift: int = 48
+) -> None:
+    """Persist `df` spatially CLUSTERED by a space-filling-curve cell id:
+    directory-partitioned on the cell's high bits, sorted by the full cell
+    within files.
+
+    This is the read-path layout lever at 100 TB: both our hex lattice ids
+    (functions/hexgrid.py) and S2 ids (functions/s2.py) are Hilbert/lattice
+    curves, so a spatial range is a small set of contiguous id ranges — with
+    this layout a range scan (a) prunes whole directories via the
+    `cell_prefix` partition column (Catalyst PartitionFilters, no file even
+    listed), and (b) prunes row groups inside surviving files via parquet
+    min/max stats on the sorted `cell` column (PushedFilters). It is the
+    parquet-path equivalent of Iceberg's `truncate(cell)` partition
+    transform + a sort order on cell.
+
+    `prefix_shift` trades directory count against pruning granularity: keep
+    distinct prefixes ~ O(10^3-10^4) at the target scale (small-files rule).
+    The repartition on cell_prefix means one task owns each directory, so
+    files stay few and internally sorted.
+    """
+    prefix = F.shiftrightunsigned(F.col(cell_col).cast("long"), prefix_shift)
+    (
+        df.withColumn("cell_prefix", prefix)
+        .repartition("cell_prefix")
+        .sortWithinPartitions("cell_prefix", cell_col)
+        .write.mode("overwrite")
+        .partitionBy("cell_prefix")
+        .parquet(path)
+    )
+
+
+def read_cell_range(
+    spark: SparkSession,
+    path: str,
+    lo: int,
+    hi: int,
+    cell_col: str = "cell",
+    prefix_shift: int = 48,
+) -> DataFrame:
+    """Scan a write_clustered layout for lo <= cell <= hi.
+
+    States BOTH predicates explicitly: the derived prefix bounds (so the
+    partition-column pruning fires — Catalyst does not infer them from the
+    cell predicate) and the exact cell range (pushed to parquet row-group
+    stats). Returns the original schema (cell_prefix dropped).
+    """
+    if lo > hi:
+        raise ValueError(f"empty range: lo {lo} > hi {hi}")
+    if lo < 0 or hi < 0:
+        raise ValueError("cell ids are unsigned-interpreted; need lo, hi >= 0")
+    plo, phi = lo >> prefix_shift, hi >> prefix_shift
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("cell_prefix") >= plo)
+            & (F.col("cell_prefix") <= phi)
+            & (F.col(cell_col) >= lo)
+            & (F.col(cell_col) <= hi)
+        )
+        .drop("cell_prefix")
+    )

@@ -912,3 +912,60 @@ class TestOverlayJoin:
         zones = spark.createDataFrame([(0, 10.0, 0.0, 20.0, 10.0)],
             "zone_id long, zx0 double, zy0 double, zx1 double, zy1 double")
         assert overlay_area_join(rects, zones).count() == 0
+
+
+class TestHeavyHitters:
+    def test_exact_topk_matches_bruteforce(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import heavy_hitters
+
+        import numpy as np
+        rng = np.random.RandomState(7)
+        # zipf-ish: item i appears ~ 3000/i times
+        items = [f"w{i:03d}" for i in range(1, 60) for _ in range(3000 // i)]
+        rng.shuffle(items)
+        df = spark.createDataFrame([(w,) for w in items], "item string").repartition(8)
+        got = heavy_hitters(df, "item", k=10, capacity=64).toPandas()
+        import collections
+        exact = sorted(collections.Counter(items).items(),
+                       key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(zip(got["item"], got["cnt"])) == exact
+
+    def test_flat_corpus_raises(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import heavy_hitters
+
+        # 500 singletons, capacity 4: kth count 1 <= N/capacity = 125
+        df = spark.createDataFrame([(f"u{i}",) for i in range(500)], "item string")
+        with pytest.raises(ValueError, match="not provably exact"):
+            heavy_hitters(df, "item", k=5, capacity=4)
+
+    def test_candidate_summaries_bounded_and_carry_total(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import misra_gries_candidates
+
+        df = spark.createDataFrame(
+            [(f"v{i % 97}",) for i in range(2000)], "item string"
+        ).repartition(4)
+        summ = misra_gries_candidates(df, "item", capacity=16).toPandas()
+        markers = summ[summ["item"].isnull()]
+        assert markers["n_rows"].sum() == 2000
+        # 97 distinct per partition > capacity 16 -> decrements must fire,
+        # and the per-partition miss bound never exceeds n_p/capacity
+        assert (markers["decremented"] > 0).all()
+        assert (markers["decremented"] <= markers["n_rows"] / 16).all()
+        per_part = summ[summ["item"].notnull()]
+        # <= capacity candidates per partition (4 partitions)
+        assert len(per_part) <= 16 * 4
+
+    def test_exact_despite_decrements(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import heavy_hitters
+
+        import numpy as np
+        rng = np.random.RandomState(11)
+        # 20 heavy items x 500 + 3000 singletons: decrements fire at
+        # capacity 64, but kth count (500) clears the miss bound (~N/64)
+        items = [f"h{i:02d}" for i in range(20) for _ in range(500)]
+        items += [f"s{i}" for i in range(3000)]
+        rng.shuffle(items)
+        df = spark.createDataFrame([(w,) for w in items], "item string").repartition(6)
+        got = heavy_hitters(df, "item", k=20, capacity=64).toPandas()
+        assert sorted(got["item"]) == [f"h{i:02d}" for i in range(20)]
+        assert (got["cnt"] == 500).all()
