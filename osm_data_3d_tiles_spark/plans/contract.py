@@ -1182,6 +1182,47 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def scd2_q(spark, sf_dir):
+        """SCD2 episode build (operators/scd.py): per-user event_type
+        history with no-op suppression; one key shuffle, two in-partition
+        analytic windows, episodes closed by the next change or the
+        open-end sentinel."""
+        from ..operators.scd import scd2_from_events
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id",
+            "event_type",
+            F.expr("cast(cast(ts as timestamp) as long)").alias("ts_epoch"),
+            "event_id",
+        )
+        return scd2_from_events(ev)
+
+    q["user_scd2"] = (
+        scd2_q,
+        """
+        WITH e AS (
+            SELECT user_id, event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch, event_id
+            FROM events
+        ),
+        marked AS (
+            SELECT *, LAG(event_type) OVER w AS prev, ROW_NUMBER() OVER w AS rn
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch, event_id)
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts_epoch, event_id FROM marked
+            WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        )
+        SELECT user_id, event_type,
+               ts_epoch AS valid_from,
+               COALESCE(LEAD(ts_epoch) OVER w2, 253402300800) AS valid_to,
+               CAST(CASE WHEN LEAD(ts_epoch) OVER w2 IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_current
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_epoch, event_id)
+        """,
+    )
+
     return q
 
 
@@ -2241,6 +2282,50 @@ def build_webtext_queries() -> dict:
         GROUP BY token
         ORDER BY cnt DESC, token
         LIMIT 25
+        """,
+    )
+
+    def geo_clusters_q(spark, sf_dir):
+        """eps-connectivity spatial clustering (operators/cluster.py):
+        deterministic per-doc geotags in a 1000x1000 frame, eps=8 —
+        grid-bucketed neighbor join + connected components. The oracle is
+        the brute-force O(n^2) distance join + recursive-CTE closure; the
+        grid plan must reproduce it exactly."""
+        from ..operators.cluster import spatial_clusters
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pts = docs.select(
+            F.col("doc_id").alias("pid"),
+            (((F.col("doc_id") * 2654435761) % 100000).cast("double") / 100.0).alias("x"),
+            (((F.col("doc_id") * 40503 + 17) % 100000).cast("double") / 100.0).alias("y"),
+        )
+        out = spatial_clusters(pts, 8.0)
+        return out.select(F.col("pid").alias("doc_id"), "cluster_id")
+
+    q["geo_clusters"] = (
+        geo_clusters_q,
+        """
+        WITH RECURSIVE pts AS (
+            SELECT doc_id,
+                   CAST((doc_id * 2654435761) % 100000 AS DOUBLE) / 100.0 AS x,
+                   CAST((doc_id * 40503 + 17) % 100000 AS DOUBLE) / 100.0 AS y
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS s, b.doc_id AS d
+            FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+            WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 64.0
+        ),
+        edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+        reach(node, lab) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.d, r.lab FROM edges e JOIN reach r ON e.s = r.node
+        ),
+        cc AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+        SELECT p.doc_id,
+               CAST(COALESCE(cc.cluster_id, p.doc_id) AS BIGINT) AS cluster_id
+        FROM pts p LEFT JOIN cc ON cc.node = p.doc_id
         """,
     )
 

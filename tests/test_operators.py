@@ -969,3 +969,118 @@ class TestHeavyHitters:
         got = heavy_hitters(df, "item", k=20, capacity=64).toPandas()
         assert sorted(got["item"]) == [f"h{i:02d}" for i in range(20)]
         assert (got["cnt"] == 500).all()
+
+
+class TestScd2:
+    def test_episodes_and_suppression(self, spark):
+        from osm_data_3d_tiles_spark.operators.scd import OPEN_END_EPOCH, scd2_from_events
+
+        rows = [
+            # user 1: a a b a  -> episodes a[10,30) b[30,40) a[40,open)
+            (1, 10, "a", 100), (1, 20, "a", 101), (1, 30, "b", 102), (1, 40, "a", 103),
+            # user 2: single observation -> one open episode
+            (2, 15, "x", 200),
+            # user 3: tie on ts broken by event_id -> b then a
+            (3, 50, "a", 302), (3, 50, "b", 301),
+        ]
+        df = spark.createDataFrame(
+            [(u, t, a, e) for u, t, a, e in rows],
+            "user_id long, ts_epoch long, event_type string, event_id long",
+        )
+        got = {
+            (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_from_events(df).collect()
+        }
+        assert got == {
+            (1, "a", 10, 30, 0),
+            (1, "b", 30, 40, 0),
+            (1, "a", 40, OPEN_END_EPOCH, 1),
+            (2, "x", 15, OPEN_END_EPOCH, 1),
+            (3, "b", 50, 50, 0),  # event_id 301 sorts first at the tied ts
+            (3, "a", 50, OPEN_END_EPOCH, 1),
+        }
+
+    def test_tie_break_order(self, spark):
+        from osm_data_3d_tiles_spark.operators.scd import OPEN_END_EPOCH, scd2_from_events
+
+        df = spark.createDataFrame(
+            [(3, 50, "a", 302), (3, 50, "b", 301)],
+            "user_id long, ts_epoch long, event_type string, event_id long",
+        )
+        eps = sorted(
+            scd2_from_events(df).collect(), key=lambda r: (r.valid_from, r.event_type)
+        )
+        # event_id 301 ("b") sorts first at the tied ts, then 302 ("a")
+        assert [(r.event_type, r.valid_from, r.valid_to, r.is_current) for r in eps] == [
+            ("a", 50, OPEN_END_EPOCH, 1),
+            ("b", 50, 50, 0),
+        ]
+
+    def test_null_attr_runs_collapse(self, spark):
+        from osm_data_3d_tiles_spark.operators.scd import scd2_from_events
+
+        df = spark.createDataFrame(
+            [(1, 10, None, 1), (1, 20, None, 2), (1, 30, "a", 3)],
+            "user_id long, ts_epoch long, event_type string, event_id long",
+        )
+        eps = scd2_from_events(df).collect()
+        assert len(eps) == 2  # one NULL episode, one 'a' episode
+        assert {r.event_type for r in eps} == {None, "a"}
+
+
+class TestSpatialClusters:
+    def test_matches_bruteforce_closure(self, spark):
+        from osm_data_3d_tiles_spark.operators.cluster import spatial_clusters
+
+        import numpy as np
+        rng = np.random.RandomState(3)
+        pts = [(int(i), float(x), float(y))
+               for i, (x, y) in enumerate(rng.uniform(-50, 50, size=(150, 2)))]
+        df = spark.createDataFrame(pts, "pid long, x double, y double")
+        eps = 7.5
+        got = {r.pid: r.cluster_id for r in spatial_clusters(df, eps).collect()}
+
+        # brute-force union-find ground truth
+        parent = list(range(150))
+        def find(u):
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]; u = parent[u]
+            return u
+        for i, xi, yi in pts:
+            for j, xj, yj in pts:
+                if i < j and (xi-xj)**2 + (yi-yj)**2 <= eps*eps:
+                    parent[find(j)] = find(i)
+        comp = {}
+        for i, _, _ in pts:
+            comp.setdefault(find(i), []).append(i)
+        want = {i: min(m) for m in comp.values() for i in m}
+        assert got == want
+
+    def test_chain_is_transitive_single_cluster(self, spark):
+        from osm_data_3d_tiles_spark.operators.cluster import spatial_clusters
+
+        # colinear chain spaced 0.9*eps: ends are 9 eps apart but connected
+        df = spark.createDataFrame(
+            [(i, i * 0.9, 0.0) for i in range(11)], "pid long, x double, y double"
+        )
+        got = spatial_clusters(df, 1.0).toPandas()
+        assert (got["cluster_id"] == 0).all()
+
+    def test_singletons_and_cell_boundary(self, spark):
+        from osm_data_3d_tiles_spark.operators.cluster import spatial_clusters
+
+        # 0 and 1 straddle the x=10 grid line at distance exactly eps (joined,
+        # <=); 2 is isolated and must still appear as its own cluster
+        df = spark.createDataFrame(
+            [(0, 9.5, 0.0), (1, 19.5, 0.0), (2, 100.0, 100.0)],
+            "pid long, x double, y double",
+        )
+        got = {r.pid: r.cluster_id for r in spatial_clusters(df, 10.0).collect()}
+        assert got == {0: 0, 1: 0, 2: 2}
+
+    def test_bad_eps(self, spark):
+        from osm_data_3d_tiles_spark.operators.cluster import eps_neighbor_pairs
+
+        df = spark.createDataFrame([(1, 0.0, 0.0)], "pid long, x double, y double")
+        with pytest.raises(ValueError, match="eps"):
+            eps_neighbor_pairs(df, 0.0)
