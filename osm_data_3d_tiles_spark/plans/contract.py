@@ -517,6 +517,81 @@ def build_queries() -> dict:
         """,
     )
 
+    # ---- clipped road length per zone (Liang–Barsky in shared SQL) --------------
+    def road_len_q(spark, sf_dir):
+        """Per-zone clipped segment length (operators/zonal.py::
+        segment_zone_length): deterministic ±100 m 'road' segments anchored
+        at the doc points × the 5×5 nation zone grid; Liang–Barsky clip as
+        shared-verbatim SQL fragments, zones broadcast."""
+        from ..operators.zonal import segment_zone_length
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        zones = nation.select(
+            F.col("n_nationkey").alias("zone_id"),
+            (F.lit(MINX) + (F.col("n_nationkey") % 5).cast("double") * F.lit(_ZW)).alias("zx0"),
+            (F.lit(MINY) + F.expr("n_nationkey div 5").cast("double") * F.lit(_ZH)).alias("zy0"),
+            (F.lit(MINX) + ((F.col("n_nationkey") % 5) + 1).cast("double") * F.lit(_ZW)).alias("zx1"),
+            (F.lit(MINY) + (F.expr("n_nationkey div 5") + 1).cast("double") * F.lit(_ZH)).alias("zy1"),
+        )
+        segs = doc_points(spark, sf_dir).select(
+            F.col("doc_id").alias("seg_id"),
+            F.col("x").alias("x0"),
+            F.col("y").alias("y0"),
+            (F.col("x") + F.expr(
+                "cast((doc_id * 7919 + 3) % 4001 - 2000 as double) / 20e0"
+            )).alias("x1"),
+            (F.col("y") + F.expr(
+                "cast((doc_id * 104729 + 5) % 4001 - 2000 as double) / 20e0"
+            )).alias("y1"),
+        )
+        return segment_zone_length(segs, zones)
+
+    from ..operators.zonal import SEG_LEN_C_SQL, SEG_T0_SQL, SEG_T1_SQL
+
+    q["road_zone_length"] = (
+        road_len_q,
+        f"""
+        WITH z AS (
+            SELECT n_nationkey AS zone_id,
+                   {MINX!r} + CAST(n_nationkey % 5 AS DOUBLE) * {_ZW!r} AS zx0,
+                   {MINY!r} + CAST(n_nationkey // 5 AS DOUBLE) * {_ZH!r} AS zy0,
+                   {MINX!r} + CAST((n_nationkey % 5) + 1 AS DOUBLE) * {_ZW!r} AS zx1,
+                   {MINY!r} + CAST((n_nationkey // 5) + 1 AS DOUBLE) * {_ZH!r} AS zy1
+            FROM nation
+        ),
+        p AS ({DOC_POINTS_SQL}),
+        s0 AS (
+            SELECT doc_id AS seg_id, x AS x0, y AS y0,
+                   x + CAST((doc_id * 7919 + 3) % 4001 - 2000 AS DOUBLE) / 20e0 AS x1,
+                   y + CAST((doc_id * 104729 + 5) % 4001 - 2000 AS DOUBLE) / 20e0 AS y1
+            FROM p
+        ),
+        -- bbox columns precomputed: LEAST/GREATEST inside the join predicate
+        -- trips an INTERNAL vector error in DuckDB 1.0's range-join path
+        s AS (
+            SELECT *, LEAST(x0, x1) AS bxlo, GREATEST(x0, x1) AS bxhi,
+                   LEAST(y0, y1) AS bylo, GREATEST(y0, y1) AS byhi
+            FROM s0
+        ),
+        clipped AS (
+            SELECT zone_id, {SEG_T0_SQL} AS t0, {SEG_T1_SQL} AS t1,
+                   x0, y0, x1, y1
+            FROM s JOIN z
+              ON bxlo <= zx1 AND bxhi >= zx0
+             AND bylo <= zy1 AND byhi >= zy0
+        ),
+        lens AS (
+            SELECT zone_id, {SEG_LEN_C_SQL} AS len_c
+            FROM clipped
+            WHERE t1 > t0
+        )
+        SELECT zone_id, COUNT(*) AS n_segments,
+               CAST(SUM(len_c) AS BIGINT) AS length_sum_c
+        FROM lens
+        GROUP BY zone_id
+        """,
+    )
+
     # ---- zonal stats (rasterize → join → agg) -----------------------------------
     def zonal(spark, sf_dir):
         rects = rect_buildings(spark, sf_dir)
@@ -2326,6 +2401,39 @@ def build_webtext_queries() -> dict:
         SELECT p.doc_id,
                CAST(COALESCE(cc.cluster_id, p.doc_id) AS BIGINT) AS cluster_id
         FROM pts p LEFT JOIN cc ON cc.node = p.doc_id
+        """,
+    )
+
+    def anchor_dist_q(spark, sf_dir):
+        """Global geotag distance (functions/geodesic.py): haversine meters
+        from each doc's deterministic (lon, lat) to the Paris anchor,
+        floored to whole meters (see the module's cross-engine trig-parity
+        note). Pure built-in trig — whole-stage codegen end to end."""
+        from ..functions.geodesic import haversine_sql
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        geo = docs.selectExpr(
+            "doc_id",
+            "cast((doc_id * 131071) % 3600000 as double) / 10000e0 - 180e0 as lon",
+            "cast((doc_id * 524287 + 7) % 1700000 as double) / 10000e0 - 85e0 as lat",
+        )
+        d = haversine_sql("2.3522", "48.8566", "lon", "lat")
+        return geo.selectExpr("doc_id", f"cast(floor({d}) as long) as dist_m")
+
+    from ..functions.geodesic import haversine_sql as _hav
+
+    q["doc_anchor_distance_m"] = (
+        anchor_dist_q,
+        f"""
+        WITH geo AS (
+            SELECT doc_id,
+                   CAST((doc_id * 131071) % 3600000 AS DOUBLE) / 10000e0 - 180e0 AS lon,
+                   CAST((doc_id * 524287 + 7) % 1700000 AS DOUBLE) / 10000e0 - 85e0 AS lat
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(FLOOR({_hav("2.3522", "48.8566", "lon", "lat")}) AS BIGINT) AS dist_m
+        FROM geo
         """,
     )
 

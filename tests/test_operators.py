@@ -1084,3 +1084,79 @@ class TestSpatialClusters:
         df = spark.createDataFrame([(1, 0.0, 0.0)], "pid long, x double, y double")
         with pytest.raises(ValueError, match="eps"):
             eps_neighbor_pairs(df, 0.0)
+
+
+class TestSegmentZoneLength:
+    def _run(self, spark, segs, zones):
+        from osm_data_3d_tiles_spark.operators.zonal import segment_zone_length
+
+        s = spark.createDataFrame(segs, "seg_id long, x0 double, y0 double, x1 double, y1 double")
+        z = spark.createDataFrame(zones, "zone_id long, zx0 double, zy0 double, zx1 double, zy1 double")
+        return {
+            r.zone_id: (r.n_segments, r.length_sum_c)
+            for r in segment_zone_length(s, z).collect()
+        }
+
+    def test_crossing_inside_outside(self, spark):
+        zones = [(0, 0.0, 0.0, 10.0, 10.0)]
+        segs = [
+            (1, -5.0, 5.0, 15.0, 5.0),   # crosses: 10 inside
+            (2, 2.0, 2.0, 5.0, 6.0),     # fully inside: 5 (3-4-5)
+            (3, 20.0, 20.0, 30.0, 20.0), # outside
+            (4, 5.0, -3.0, 5.0, 4.0),    # vertical, clipped at y=0: 4 inside
+        ]
+        got = self._run(spark, segs, zones)
+        assert got == {0: (3, 1000 + 500 + 400)}
+
+    def test_shared_edge_counts_for_both_zones(self, spark):
+        zones = [(0, 0.0, 0.0, 10.0, 10.0), (1, 10.0, 0.0, 20.0, 10.0)]
+        # lies exactly on the shared x=10 edge, length 6
+        got = self._run(spark, [(1, 10.0, 2.0, 10.0, 8.0)], zones)
+        assert got == {0: (1, 600), 1: (1, 600)}
+
+    def test_diagonal_through_corner(self, spark):
+        zones = [(0, 0.0, 0.0, 10.0, 10.0)]
+        # diagonal from (-5,-5) to (5,5): inside from (0,0) to (5,5), len 5*sqrt(2)
+        got = self._run(spark, [(1, -5.0, -5.0, 5.0, 5.0)], zones)
+        import math
+        assert got == {0: (1, int(math.floor(5 * math.sqrt(2) * 100 + 0.5)))}
+
+    def test_degenerate_point_segment(self, spark):
+        zones = [(0, 0.0, 0.0, 10.0, 10.0)]
+        got = self._run(spark, [(1, 5.0, 5.0, 5.0, 5.0)], zones)
+        assert got == {0: (1, 0)}  # counted, zero length
+
+
+class TestHaversine:
+    def test_known_city_pair(self, spark):
+        from osm_data_3d_tiles_spark.functions.geodesic import haversine_m
+
+        df = spark.createDataFrame(
+            [(2.3522, 48.8566, -0.1278, 51.5074)],  # Paris -> London
+            "lon1 double, lat1 double, lon2 double, lat2 double",
+        ).select(haversine_m("lon1", "lat1", "lon2", "lat2").alias("d"))
+        d = df.first()["d"]
+        assert abs(d - 343_556) < 500  # published haversine figure ~343.5 km
+
+    def test_symmetry_and_zero(self, spark):
+        from osm_data_3d_tiles_spark.functions.geodesic import haversine_m
+
+        df = spark.createDataFrame(
+            [(10.0, 20.0, -30.0, 45.0)],
+            "lon1 double, lat1 double, lon2 double, lat2 double",
+        )
+        fwd = df.select(haversine_m("lon1", "lat1", "lon2", "lat2").alias("d")).first()["d"]
+        rev = df.select(haversine_m("lon2", "lat2", "lon1", "lat1").alias("d")).first()["d"]
+        assert fwd == rev > 0
+        zero = df.select(haversine_m("lon1", "lat1", "lon1", "lat1").alias("d")).first()["d"]
+        assert zero == 0.0
+
+    def test_antipodal_clamped(self, spark):
+        from osm_data_3d_tiles_spark.functions.geodesic import EARTH_RADIUS_M, haversine_m
+
+        import math
+        df = spark.createDataFrame(
+            [(0.0, 0.0, 180.0, 0.0)],
+            "lon1 double, lat1 double, lon2 double, lat2 double",
+        ).select(haversine_m("lon1", "lat1", "lon2", "lat2").alias("d"))
+        assert abs(df.first()["d"] - math.pi * EARTH_RADIUS_M) < 1.0
