@@ -120,3 +120,44 @@ def read_cell_range(
         )
         .drop("cell_prefix")
     )
+
+
+def compact_layout(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~target_bytes files (the classic
+    small-files maintenance pass — the parquet-path analog of Iceberg's
+    rewrite_data_files). Returns the number of output partitions written.
+
+    Incremental ingest (streaming micro-batches, per-task partitionBy
+    writes) leaves thousands of KB-sized files; at 100 TB that turns every
+    scan into an open/footer-parse storm and starves the scheduler with
+    tiny splits. The rewrite sizes output partitions from the layout's
+    CURRENT bytes (file metadata only — no data read for the estimate) and
+    re-sorts within partitions when `sort_cols` is given so min/max
+    row-group pruning survives compaction.
+
+    Writes to `out_path` (swap-on-success is the caller's move): a
+    maintenance job must never destroy the only copy mid-rewrite.
+    """
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_out

@@ -1160,3 +1160,51 @@ class TestHaversine:
             "lon1 double, lat1 double, lon2 double, lat2 double",
         ).select(haversine_m("lon1", "lat1", "lon2", "lat2").alias("d"))
         assert abs(df.first()["d"] - math.pi * EARTH_RADIUS_M) < 1.0
+
+
+class TestNewJoinPlanShapes:
+    """Executed-plan pins: the join strategy IS the scale contract for these
+    operators — a regression to a shuffled or loop plan is a perf bug even
+    when results stay correct."""
+
+    def _rects(self, spark):
+        return spark.range(1000).selectExpr(
+            "id as osm_id", "cast(id%100 as double) as x0",
+            "cast(id%97 as double) as y0",
+            "cast(id%100+5 as double) as x1", "cast(id%97+5 as double) as y1")
+
+    def _zones(self, spark):
+        return spark.range(25).selectExpr(
+            "id as zone_id", "cast(id%5*20 as double) as zx0",
+            "cast(id div 5*20 as double) as zy0",
+            "cast(id%5*20+20 as double) as zx1",
+            "cast((id div 5)*20+20 as double) as zy1")
+
+    def test_overlay_broadcasts_dim_and_never_shuffles_fact(self, spark):
+        from osm_data_3d_tiles_spark.operators.zonal import overlay_area_join
+
+        plan = overlay_area_join(self._rects(spark), self._zones(spark)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan  # non-equi vs a tiny dim: OK
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_seglen_single_exchange_is_the_zone_agg(self, spark):
+        from osm_data_3d_tiles_spark.operators.zonal import segment_zone_length
+
+        segs = self._rects(spark).selectExpr("osm_id as seg_id", "x0", "y0", "x1", "y1")
+        plan = segment_zone_length(segs, self._zones(spark)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert len(shuffles) == 1 and "zone_id" in shuffles[0]
+
+    def test_interval_join_is_hash_not_loop(self, spark):
+        from osm_data_3d_tiles_spark.operators.interval import bucketed_range_join
+
+        ev = spark.range(10000).selectExpr("id as event_id", "id*13 % 100000 as ts_epoch")
+        wins = spark.range(25).selectExpr(
+            "id as window_id", "id*1800 as start_epoch", "id*1800+2700 as end_epoch")
+        plan = bucketed_range_join(ev, wins, bucket_s=2700) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "HashJoin" in plan  # broadcast or shuffled hash -- never a loop
