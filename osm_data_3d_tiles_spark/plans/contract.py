@@ -1298,6 +1298,33 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def attribution_q(spark, sf_dir):
+        """Time-bounded attribution join (streaming/events.py::
+        click_purchase_attribution, here on its batch path): every
+        (click, purchase) same-user pair with the purchase inside
+        [click, click + 30 min). The same function is Structured
+        Streaming's stream-stream join shape — watermarks + the event-time
+        range bound give the engine a state-expiry rule."""
+        from ..streaming.events import click_purchase_attribution
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        return click_purchase_attribution(clicks, purchases, max_gap="30 minutes")
+
+    q["click_attribution"] = (
+        attribution_q,
+        """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               CAST(FLOOR(epoch(p.ts)) AS BIGINT)
+                 - CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS gap_s
+        FROM events c JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+        """,
+    )
+
     return q
 
 

@@ -222,3 +222,60 @@ def streaming_ownership(claims: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch-batch) time-bounded attribution join: every
+    (click, purchase) pair of the same user where the purchase lands in
+    [click_ts, click_ts + max_gap).
+
+    clicks(user_id, event_id, ts) × purchases(user_id, event_id, ts, value)
+    → (user_id, click_id, purchase_id, gap_s).
+
+    This is Structured Streaming's third join shape (after stream-static in
+    `enriched_tumbling_counts` and the stateful ops): a STREAM-STREAM inner
+    join. Both sides get a watermark and the join carries an explicit
+    event-time range condition — that pair is what lets the engine expire
+    buffered rows (a click older than watermark+max_gap can never match a
+    future purchase, so its state is dropped). Without the time bound the
+    join state grows without limit; this function therefore refuses to be
+    called without one (max_gap is required).
+
+    Batch inputs take the identical plan minus the state machinery, which
+    is what the contract oracle checks; streaming parity is pinned in
+    tests/test_streaming.py.
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & F.expr(f"purchase_ts < click_ts + INTERVAL {max_gap}"),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.expr("cast(cast(purchase_ts as timestamp) as long)")
+            - F.expr("cast(cast(click_ts as timestamp) as long)")
+        ).alias("gap_s"),
+    )

@@ -395,3 +395,66 @@ class TestEnrichedCounts:
         want = want_all[want_all.window_start < ts + pd.Timedelta(hours=1)].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert len(got) >= 2
+
+
+class TestStreamStreamAttribution:
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        """Stream-stream inner join across micro-batches: a purchase arriving
+        in a LATER micro-batch must still match a click buffered in join
+        state, and the final streamed pair set equals the batch join."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm_data_3d_tiles_spark.streaming.events import click_purchase_attribution
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        clicks = pd.DataFrame({
+            "user_id": [1, 1, 2],
+            "event_id": [10, 11, 12],
+            "ts": [base, base + pd.Timedelta(minutes=40), base],
+        })
+        purchases = pd.DataFrame({
+            "user_id": [1, 2],
+            "event_id": [20, 21],
+            # u1 purchase at +50: matches click 11 (10 min) but NOT click 10
+            # (50 min > 30); u2 purchase at +10 matches click 12
+            "ts": [base + pd.Timedelta(minutes=50), base + pd.Timedelta(minutes=10)],
+        })
+        cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+        os.makedirs(cdir); os.makedirs(pdir)
+
+        def put(df, d, name):
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           os.path.join(d, name),
+                           coerce_timestamps="us", allow_truncated_timestamps=True)
+
+        put(clicks, cdir, "b1.parquet")          # clicks arrive first...
+        schema = "user_id long, event_id long, ts timestamp"
+        cs = spark.readStream.schema(schema).parquet(cdir)
+        ps = spark.readStream.schema(schema).parquet(pdir)
+        out = click_purchase_attribution(cs, ps, max_gap="30 minutes")
+        q = (
+            out.writeStream.format("memory").queryName("attr_parity")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            put(purchases, pdir, "b2.parquet")   # ...purchases a batch later
+            q.processAllAvailable()
+            got = {
+                (r.user_id, r.click_id, r.purchase_id, r.gap_s)
+                for r in spark.sql("select * from attr_parity").collect()
+            }
+        finally:
+            q.stop()
+
+        batch = click_purchase_attribution(
+            spark.createDataFrame(clicks), spark.createDataFrame(purchases),
+            max_gap="30 minutes",
+        )
+        want = {
+            (r.user_id, r.click_id, r.purchase_id, r.gap_s) for r in batch.collect()
+        }
+        assert got == want == {(1, 11, 20, 600), (2, 12, 21, 600)}
