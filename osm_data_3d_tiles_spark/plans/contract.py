@@ -1298,6 +1298,60 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def revenue_q(spark, sf_dir):
+        """TPC-H Q5-shaped local-supply revenue: customer ⋈ orders ⋈
+        lineitem ⋈ supplier (same-nation rule) ⋈ nation ⋈ region='ASIA',
+        one order-date year. Plan: the three dimension chains (customer→
+        nation→region, supplier) broadcast; lineitem⋈orders is the only
+        big-big join — shuffled hash on orderkey, with the date filter
+        pushed below it so the shuffle carries one year, not seven.
+        Revenue in integer cents, floored per row pre-sum."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderdate >= timestamp '1996-01-01' and "
+            "o_orderdate < timestamp '1997-01-01'"
+        )
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        r = spark.read.parquet(f"{sf_dir}/region.parquet").filter("r_name = 'ASIA'")
+        rev = F.expr(
+            "cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                F.broadcast(s),
+                (F.col("l_suppkey") == F.col("s_suppkey"))
+                & (F.col("c_nationkey") == F.col("s_nationkey")),
+            )
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.sum(rev).alias("revenue_c"), F.count("*").alias("n_items"))
+        )
+
+    q["revenue_by_nation"] = (
+        revenue_q,
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_c,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        """,
+    )
+
     def attribution_q(spark, sf_dir):
         """Time-bounded attribution join (streaming/events.py::
         click_purchase_attribution, here on its batch path): every
@@ -2461,6 +2515,40 @@ def build_webtext_queries() -> dict:
         SELECT doc_id,
                CAST(FLOOR({_hav("2.3522", "48.8566", "lon", "lat")}) AS BIGINT) AS dist_m
         FROM geo
+        """,
+    )
+
+    def morton_q(spark, sf_dir):
+        """Z-order clustering keys (functions/morton.py): doc points
+        quantized to a 1024-grid, bit-interleaved, counted per 64-cell
+        Morton block — the Z-ORDER layout histogram write_clustered would
+        partition on. Pure integer shifts/masks, shared verbatim with the
+        oracle."""
+        from ..functions.morton import morton_sql
+
+        pts = doc_points(spark, sf_dir)
+        ix = f"CAST(FLOOR((x - {MINX!r}) / {W!r} * 1024) AS BIGINT)"
+        iy = f"CAST(FLOOR((y - {MINY!r}) / {H!r} * 1024) AS BIGINT)"
+        k = morton_sql(ix, iy)
+        return (
+            pts.selectExpr(f"({k} >> 6) AS morton_block")
+            .groupBy("morton_block")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    from ..functions.morton import morton_sql as _morton
+
+    _MIX = f"CAST(FLOOR((x - {MINX!r}) / {W!r} * 1024) AS BIGINT)"
+    _MIY = f"CAST(FLOOR((y - {MINY!r}) / {H!r} * 1024) AS BIGINT)"
+
+    q["morton_block_counts"] = (
+        morton_q,
+        f"""
+        WITH p AS ({DOC_POINTS_SQL})
+        SELECT ({_morton(_MIX, _MIY)} >> 6) AS morton_block,
+               COUNT(*) AS n_docs
+        FROM p
+        GROUP BY 1
         """,
     )
 

@@ -1208,3 +1208,42 @@ class TestNewJoinPlanShapes:
             ._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "HashJoin" in plan  # broadcast or shuffled hash -- never a loop
+
+
+class TestMorton:
+    def test_roundtrip_against_python(self, spark):
+        from osm_data_3d_tiles_spark.functions.morton import morton_decode, morton_key
+
+        import numpy as np
+        rng = np.random.RandomState(13)
+        xs = rng.randint(0, 1 << 31, size=500).tolist()
+        ys = rng.randint(0, 1 << 31, size=500).tolist()
+        df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+        keys = [r.k for r in df.select(morton_key("x", "y").alias("k")).collect()]
+        assert all(k >= 0 for k in keys)
+        for x, y, k in zip(xs, ys, keys):
+            assert morton_decode(k) == (x, y)
+
+    def test_locality_order_matches_unit_squares(self, spark):
+        from osm_data_3d_tiles_spark.functions.morton import morton_key
+
+        # the 2x2 block z pattern: (0,0) (1,0) (0,1) (1,1) -> 0 1 2 3
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (1, 1)], "x long, y long"
+        )
+        got = {(r.x, r.y): r.k for r in df.select("x", "y", morton_key("x", "y").alias("k")).collect()}
+        assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3}
+
+    def test_sql_fragment_matches_duckdb(self, spark):
+        from osm_data_3d_tiles_spark.functions.morton import morton_sql
+
+        import duckdb
+        expr = morton_sql("x", "y")
+        rows = [(i * 77773 % (1 << 31), i * 104729 % (1 << 31)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = [r.k for r in df.selectExpr(f"{expr} as k").orderBy("x").collect()]
+        want = [r[0] for r in duckdb.connect().execute(
+            "SELECT " + expr + " FROM (SELECT (range * 77773) % 2147483648 AS x, "
+            "(range * 104729) % 2147483648 AS y FROM range(0, 2000)) ORDER BY x"
+        ).fetchall()]
+        assert got == want
