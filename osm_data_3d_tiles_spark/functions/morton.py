@@ -11,9 +11,11 @@ IDENTICAL expression text (no float, no libm, nothing engine-specific).
 
 Magic-number spreading (the classic "interleave by binary magic numbers"
 from the Stanford bit-twiddling hacks page): each of 5 rounds doubles the
-gap between payload bits. Inputs are clamped-checked to 31 bits so the
+gap between payload bits. Inputs MUST be non-negative 31-bit ints so the
 interleaved result (62 bits) stays positive in a signed BIGINT in both
-engines.
+engines — `morton_key` enforces that with a per-row raise_error guard;
+the raw `morton_sql` fragment does NOT (it must stay valid DuckDB), so
+oracle queries quantize inputs into range by construction.
 """
 
 from __future__ import annotations
@@ -50,8 +52,19 @@ def morton_sql(x: str, y: str) -> str:
 def morton_key(x: str, y: str) -> Column:
     """Column: Morton key of two integer coordinate columns. Pure bitwise
     ops — whole-stage codegen; feed the result to write_clustered as the
-    cell column for a Z-ORDER-clustered layout."""
-    return F.expr(morton_sql(x, y))
+    cell column for a Z-ORDER-clustered layout.
+
+    Out-of-range coordinates fail the job instead of silently corrupting
+    keys (bit 31 set would flip the sign; bits ≥32 would alias distinct
+    coordinates onto one key)."""
+    guard = (
+        f"{x} >= 0 AND {x} <= {MAX_COORD} AND {y} >= 0 AND {y} <= {MAX_COORD}"
+    )
+    return F.expr(
+        f"CASE WHEN {guard} THEN {morton_sql(x, y)} "
+        f"ELSE raise_error(concat('morton_key: coordinate out of [0, 2^31) "
+        f"range: x=', CAST({x} AS STRING), ' y=', CAST({y} AS STRING))) END"
+    )
 
 
 def morton_decode(key: int) -> tuple[int, int]:

@@ -24,9 +24,18 @@ the 3x3 explode multiplies the small side 9x but leaves the probe side
 unexploded, and AQE skew-join (enabled in session.py) splits oversized
 cell partitions at runtime.
 
-The oracle states the SAME relation navely — an O(n^2) distance join plus
+The oracle states the SAME relation naively — an O(n^2) distance join plus
 a recursive-CTE closure — which is exactly why the operator itself must
 not: the contract pins the grid plan to the brute-force semantics.
+
+Floating-point caveat: the grid prune assumes a pair within eps never
+lands more than one cell apart. floor(x/eps) is computed in doubles, so a
+pair whose true gap exceeds eps by <1 ulp — yet whose squared-distance
+REFINE predicate still rounds to <= eps^2 — could in principle sit 2 cells
+apart and be missed while the brute-force oracle keeps it. That needs the
+distance AND both cell quotients to straddle rounding boundaries at once
+(measure-zero; never observed across the randomized parity tests); exact
+decimal quantization of the inputs removes it entirely if it ever matters.
 """
 
 from __future__ import annotations

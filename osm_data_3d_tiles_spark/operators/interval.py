@@ -1,6 +1,6 @@
 """Bucketed interval (range) join.
 
-`events.ts BETWEEN w.start AND w.end` is a non-equi predicate: naive Spark
+`w.start <= events.ts < w.end` is a non-equi predicate: naive Spark
 planning gives BroadcastNestedLoopJoin (every event × every window — dies
 the moment the window table stops being tiny). The scale-safe formulation
 is the classic bucketed range join (as productized by Databricks' range
@@ -32,10 +32,26 @@ def bucketed_range_join(
     """Join rows of `events` to every window with start <= ts < end.
     All three columns are epoch-second BIGINTs; `bucket_s` is the
     quantization (pick ~ the typical window length). Returns the full
-    column set of both inputs."""
+    column set of both inputs.
+
+    `how`: 'inner' or 'left' only. An unmatched EVENT appears once under
+    'left' (events carry exactly one bucket row). Right/full outer are
+    refused: the window side is exploded onto its buckets, so an unmatched
+    window would surface once PER BUCKET — silently inflated counts.
+
+    Degenerate windows (end <= start, matchable by no ts under the
+    half-open predicate) are dropped before the explode — without the
+    guard F.sequence would count DOWNWARD from start's bucket to end's
+    and blow the stage up with garbage rows.
+    """
     if bucket_s < 1:
         raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
-    wb = windows.withColumn(
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"how={how!r} unsupported: exploded windows make right/full "
+            "outer joins emit unmatched windows once per bucket"
+        )
+    wb = windows.filter(F.col(end) > F.col(start)).withColumn(
         "_wbucket",
         F.explode(
             F.sequence(

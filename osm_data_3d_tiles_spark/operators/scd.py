@@ -26,7 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# open-ended episodes end at the epoch of 9999-01-01 rather than NULL:
+# open-ended episodes end at the epoch of 10000-01-01T00:00:00Z rather than
+# NULL (one past the max year-9999 second — do NOT convert it to a datetime
+# column; year 10000 overflows both engines' timestamp types):
 # NULL/NaN poisons cross-engine compares (pandas promotes to float), and a
 # sentinel keeps valid_to a plain BIGINT on both engines.
 OPEN_END_EPOCH = 253402300800
@@ -60,9 +62,8 @@ def scd2_from_events(
             (F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(F.col(attr))
         )
     )
-    w2 = Window.partitionBy(key).orderBy(ts, tiebreak)
     return (
-        changes.withColumn("_next_ts", F.lead(ts).over(w2))
+        changes.withColumn("_next_ts", F.lead(ts).over(w))
         .select(
             F.col(key),
             F.col(attr),

@@ -145,8 +145,8 @@ def misra_gries_candidates(
     1982; merge rule per Agarwal et al., "Mergeable Summaries", PODS 2012).
 
     Emits (item, lower_count, NULL, NULL) rows — at most `capacity` per input
-    partition — plus ONE (NULL, NULL, n_p, T_p) marker row per non-empty
-    partition carrying the partition's raw row count and its total decrement
+    partition — plus ONE marker row per non-empty partition carrying the
+    partition's raw row count, its NULL-item count, and its total decrement
     threshold mass T_p = sum of per-flush thresholds, so the caller gets both
     N and the EXACT candidate-miss bound in the same pass.
     Guarantee: an item missing from partition p's summary has partition
@@ -166,14 +166,19 @@ def misra_gries_candidates(
 
     import pandas as pd
 
-    out_schema = f"{col} string, lower_count long, n_rows long, decremented long"
+    out_schema = (
+        f"{col} string, lower_count long, n_rows long, "
+        "n_nulls long, decremented long"
+    )
 
     def summarize(batches):
         counters: dict = {}
         n_rows = 0
+        n_nulls = 0
         decremented = 0
         for pdf in batches:
             n_rows += len(pdf)
+            n_nulls += int(pdf[col].isna().sum())
             vc = pdf[col].value_counts()
             for item, n in vc.items():
                 counters[item] = counters.get(item, 0) + int(n)
@@ -194,6 +199,7 @@ def misra_gries_candidates(
                 {col: list(counters.keys()) + [None],
                  "lower_count": list(counters.values()) + [None],
                  "n_rows": [None] * len(counters) + [n_rows],
+                 "n_nulls": [None] * len(counters) + [n_nulls],
                  "decremented": [None] * len(counters) + [decremented]}
             )
 
@@ -228,9 +234,19 @@ def heavy_hitters(
     items = items.select(F.col(col).cast("string").alias(col))
     summ = misra_gries_candidates(items, col, capacity).persist()
     try:
-        miss_bound = summ.filter(F.col(col).isNull()).agg(
-            F.sum("decremented")
-        ).first()[0] or 0
+        marker = summ.filter(F.col(col).isNull()).agg(
+            F.sum("decremented"), F.sum("n_nulls")
+        ).first()
+        miss_bound = marker[0] or 0
+        n_nulls = marker[1] or 0
+        if n_nulls:
+            # NULL never enters the counters, the candidate set, or the
+            # semi-join recount — a NULL-heavy corpus would silently lose
+            # its true top item vs SQL GROUP BY semantics. Refuse instead.
+            raise ValueError(
+                f"heavy_hitters: {n_nulls} NULL items in {col!r}; filter "
+                "them out (or map NULL to a sentinel) before ranking"
+            )
         cands = summ.filter(F.col(col).isNotNull()).select(col).distinct()
         counts = (
             items.join(F.broadcast(cands), col, "left_semi")

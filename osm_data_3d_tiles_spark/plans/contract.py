@@ -72,6 +72,34 @@ FROM documents
 """
 
 
+_ZW = W / 5.0
+_ZH = H / 5.0
+
+
+def nation_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5x5 admin-zone grid over the fixture extent, keyed by nation —
+    the ONE definition both the Spark queries and (via ZONES_SQL) the
+    DuckDB oracles use; the two must stay bit-identical for oracle parity."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return nation.select(
+        F.col("n_nationkey").alias("zone_id"),
+        (F.lit(MINX) + (F.col("n_nationkey") % 5).cast("double") * F.lit(_ZW)).alias("zx0"),
+        (F.lit(MINY) + F.expr("n_nationkey div 5").cast("double") * F.lit(_ZH)).alias("zy0"),
+        (F.lit(MINX) + ((F.col("n_nationkey") % 5) + 1).cast("double") * F.lit(_ZW)).alias("zx1"),
+        (F.lit(MINY) + (F.expr("n_nationkey div 5") + 1).cast("double") * F.lit(_ZH)).alias("zy1"),
+    )
+
+
+ZONES_SQL = f"""
+SELECT n_nationkey AS zone_id,
+       {MINX!r} + CAST(n_nationkey % 5 AS DOUBLE) * {_ZW!r} AS zx0,
+       {MINY!r} + CAST(n_nationkey // 5 AS DOUBLE) * {_ZH!r} AS zy0,
+       {MINX!r} + CAST((n_nationkey % 5) + 1 AS DOUBLE) * {_ZW!r} AS zx1,
+       {MINY!r} + CAST((n_nationkey // 5) + 1 AS DOUBLE) * {_ZH!r} AS zy1
+FROM nation
+"""
+
+
 def rect_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part → axis-aligned rectangle footprints inside the fixture extent, with the
     nested-ring geometry the real operators consume."""
@@ -478,35 +506,18 @@ def build_queries() -> dict:
     )
 
     # ---- polygon overlay area join ---------------------------------------------
-    _ZW = W / 5.0
-    _ZH = H / 5.0
-
     def overlay_q(spark, sf_dir):
         """Overlay area join (operators/zonal.py::overlay_area_join):
         rect footprints × a 5×5 admin-zone grid (from nation), exact
         intersection areas in cents, zones broadcast."""
-        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-        zones = nation.select(
-            F.col("n_nationkey").alias("zone_id"),
-            (F.lit(MINX) + (F.col("n_nationkey") % 5).cast("double") * F.lit(_ZW)).alias("zx0"),
-            (F.lit(MINY) + F.expr("n_nationkey div 5").cast("double") * F.lit(_ZH)).alias("zy0"),
-            (F.lit(MINX) + ((F.col("n_nationkey") % 5) + 1).cast("double") * F.lit(_ZW)).alias("zx1"),
-            (F.lit(MINY) + (F.expr("n_nationkey div 5") + 1).cast("double") * F.lit(_ZH)).alias("zy1"),
-        )
+        zones = nation_zones(spark, sf_dir)
         rects = rect_buildings(spark, sf_dir).select("osm_id", "x0", "y0", "x1", "y1")
         return overlay_area_join(rects, zones)
 
     q["overlay_zones"] = (
         overlay_q,
         f"""
-        WITH z AS (
-            SELECT n_nationkey AS zone_id,
-                   {MINX!r} + CAST(n_nationkey % 5 AS DOUBLE) * {_ZW!r} AS zx0,
-                   {MINY!r} + CAST(n_nationkey // 5 AS DOUBLE) * {_ZH!r} AS zy0,
-                   {MINX!r} + CAST((n_nationkey % 5) + 1 AS DOUBLE) * {_ZW!r} AS zx1,
-                   {MINY!r} + CAST((n_nationkey // 5) + 1 AS DOUBLE) * {_ZH!r} AS zy1
-            FROM nation
-        ),
+        WITH z AS ({ZONES_SQL}),
         r AS ({RECTS_XY_SQL})
         SELECT r.osm_id, z.zone_id,
                CAST(FLOOR((LEAST(x1, zx1) - GREATEST(x0, zx0))
@@ -525,14 +536,7 @@ def build_queries() -> dict:
         shared-verbatim SQL fragments, zones broadcast."""
         from ..operators.zonal import segment_zone_length
 
-        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-        zones = nation.select(
-            F.col("n_nationkey").alias("zone_id"),
-            (F.lit(MINX) + (F.col("n_nationkey") % 5).cast("double") * F.lit(_ZW)).alias("zx0"),
-            (F.lit(MINY) + F.expr("n_nationkey div 5").cast("double") * F.lit(_ZH)).alias("zy0"),
-            (F.lit(MINX) + ((F.col("n_nationkey") % 5) + 1).cast("double") * F.lit(_ZW)).alias("zx1"),
-            (F.lit(MINY) + (F.expr("n_nationkey div 5") + 1).cast("double") * F.lit(_ZH)).alias("zy1"),
-        )
+        zones = nation_zones(spark, sf_dir)
         segs = doc_points(spark, sf_dir).select(
             F.col("doc_id").alias("seg_id"),
             F.col("x").alias("x0"),
@@ -551,14 +555,7 @@ def build_queries() -> dict:
     q["road_zone_length"] = (
         road_len_q,
         f"""
-        WITH z AS (
-            SELECT n_nationkey AS zone_id,
-                   {MINX!r} + CAST(n_nationkey % 5 AS DOUBLE) * {_ZW!r} AS zx0,
-                   {MINY!r} + CAST(n_nationkey // 5 AS DOUBLE) * {_ZH!r} AS zy0,
-                   {MINX!r} + CAST((n_nationkey % 5) + 1 AS DOUBLE) * {_ZW!r} AS zx1,
-                   {MINY!r} + CAST((n_nationkey // 5) + 1 AS DOUBLE) * {_ZH!r} AS zy1
-            FROM nation
-        ),
+        WITH z AS ({ZONES_SQL}),
         p AS ({DOC_POINTS_SQL}),
         s0 AS (
             SELECT doc_id AS seg_id, x AS x0, y AS y0,

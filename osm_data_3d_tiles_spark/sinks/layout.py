@@ -153,6 +153,15 @@ def compact_layout(
             for f in files
             if f.endswith(".parquet")
         )
+    if total == 0:
+        # os.walk sees nothing for non-local URIs (hdfs://, s3a://) or an
+        # empty dir — sizing from 0 would repartition the WHOLE dataset to 1
+        # and write a single giant file. Fail loud; remote layouts need a
+        # FileSystem-API sizing pass instead.
+        raise ValueError(
+            f"compact_layout: no local parquet bytes found under {path!r} "
+            "(remote URI or empty directory?)"
+        )
     n_out = max(1, -(-total // target_bytes))  # ceil
     df = spark.read.parquet(path)
     if sort_cols:

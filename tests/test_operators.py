@@ -1247,3 +1247,53 @@ class TestMorton:
             "(range * 104729) % 2147483648 AS y FROM range(0, 2000)) ORDER BY x"
         ).fetchall()]
         assert got == want
+
+
+class TestReviewFixes:
+    """Regression pins for the round-3 self-review findings."""
+
+    def test_morton_out_of_range_raises(self, spark):
+        from osm_data_3d_tiles_spark.functions.morton import morton_key
+
+        df = spark.createDataFrame([(1 << 31, 0)], "x long, y long")
+        with pytest.raises(Exception, match="out of"):
+            df.select(morton_key("x", "y")).collect()
+
+    def test_interval_outer_join_refused(self, spark):
+        from osm_data_3d_tiles_spark.operators.interval import bucketed_range_join
+
+        df = spark.createDataFrame([(1, 1)], "event_id long, ts_epoch long")
+        w = spark.createDataFrame([(1, 0, 10)],
+                                  "window_id long, start_epoch long, end_epoch long")
+        with pytest.raises(ValueError, match="outer"):
+            bucketed_range_join(df, w, how="full")
+
+    def test_interval_degenerate_window_dropped_cheaply(self, spark):
+        from osm_data_3d_tiles_spark.operators.interval import bucketed_range_join
+
+        ev = spark.createDataFrame([(1, 500)], "event_id long, ts_epoch long")
+        # end <= start: matchable by nothing; must not explode a descending
+        # bucket sequence (pre-fix this produced a 555k-element array)
+        w = spark.createDataFrame(
+            [(1, 2_000_000_000, 0), (2, 0, 1000)],
+            "window_id long, start_epoch long, end_epoch long",
+        )
+        got = bucketed_range_join(ev, w, bucket_s=3600).select("window_id").collect()
+        assert [r.window_id for r in got] == [2]
+
+    def test_heavy_hitters_null_items_refused(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import heavy_hitters
+
+        df = spark.createDataFrame(
+            [("a",)] * 5 + [(None,)] * 10 + [("b",)] * 3, "item string"
+        )
+        with pytest.raises(ValueError, match="NULL items"):
+            heavy_hitters(df, "item", k=2, capacity=64)
+
+    def test_compact_layout_empty_dir_raises(self, spark, tmp_path):
+        from osm_data_3d_tiles_spark.sinks.layout import compact_layout
+
+        src = tmp_path / "nothing"
+        src.mkdir()
+        with pytest.raises(ValueError, match="no local parquet bytes"):
+            compact_layout(spark, str(src), str(tmp_path / "out"))
