@@ -115,6 +115,33 @@ def cmd_ingest_mvt(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Rewrite a fragmented parquet layout into ~target-size files."""
+    from .sinks.layout import compact_layout
+
+    spark = _spark(args)
+    n = compact_layout(
+        spark, args.src, args.out,
+        target_bytes=args.target_mb * 1024 * 1024,
+        sort_cols=args.sort_by.split(",") if args.sort_by else None,
+    )
+    print(json.dumps({"src": args.src, "out": args.out, "files": n}))
+    return 0
+
+
+def cmd_cluster_layout(args) -> int:
+    """Write a table SFC-clustered by a cell column (Z-ORDER-style layout)."""
+    from .sinks.layout import write_clustered
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.src)
+    write_clustered(df, args.out, cell_col=args.cell_col,
+                    prefix_shift=args.prefix_shift)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"rows": n, "out": args.out}))
+    return 0
+
+
 def cmd_atlas(args) -> int:
     """Write the packed diffuse texture atlas PNG (procedural frames)."""
     from .functions.atlas import write_atlas_png
@@ -161,6 +188,20 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("atlas", help="write the packed diffuse atlas PNG")
     a.add_argument("--out", required=True)
     a.set_defaults(fn=cmd_atlas)
+
+    c = sub.add_parser("compact", help="rewrite a layout into ~target-size files")
+    c.add_argument("--src", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--sort-by", default=None, help="comma-separated sort columns")
+    c.set_defaults(fn=cmd_compact)
+
+    z = sub.add_parser("cluster-layout", help="SFC-cluster a table by a cell column")
+    z.add_argument("--src", required=True)
+    z.add_argument("--out", required=True)
+    z.add_argument("--cell-col", default="cell")
+    z.add_argument("--prefix-shift", type=int, default=48)
+    z.set_defaults(fn=cmd_cluster_layout)
 
     args = p.parse_args(argv)
     return args.fn(args)

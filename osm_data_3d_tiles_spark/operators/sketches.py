@@ -138,6 +138,33 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
 
 
+def mg_merge(counters: dict, value_counts, capacity: int) -> int:
+    """Merge a batch's value_counts into a Misra–Gries counter dict IN
+    PLACE, flushing (batched decrement) if the dict exceeds `capacity`.
+    Returns the flush threshold t added to the summary's miss bound (0 if
+    no flush fired). Shared by the batch candidate stage below and the
+    streaming per-key state operator (streaming/events.py)."""
+    for item, n in value_counts.items():
+        counters[item] = counters.get(item, 0) + int(n)
+    if len(counters) <= capacity:
+        return 0
+    import numpy as np
+
+    vals = np.fromiter(counters.values(), dtype="int64")
+    # subtracting t from all counters removes at least the
+    # (size-capacity) smallest ones; any item evicted here had
+    # count <= accumulated thresholds, so sum(t) bounds the
+    # frequency of anything this summary can have missed
+    t = int(np.partition(vals, len(vals) - capacity - 1)[len(vals) - capacity - 1])
+    for k in list(counters):
+        v = counters[k] - t
+        if v > 0:
+            counters[k] = v
+        else:
+            del counters[k]
+    return t
+
+
 def misra_gries_candidates(
     items: DataFrame, col: str = "item", capacity: int = 4096
 ) -> DataFrame:
@@ -179,21 +206,7 @@ def misra_gries_candidates(
         for pdf in batches:
             n_rows += len(pdf)
             n_nulls += int(pdf[col].isna().sum())
-            vc = pdf[col].value_counts()
-            for item, n in vc.items():
-                counters[item] = counters.get(item, 0) + int(n)
-            if len(counters) > capacity:
-                import numpy as np
-
-                vals = np.fromiter(counters.values(), dtype="int64")
-                # subtracting t from all counters removes at least the
-                # (size-capacity) smallest ones; any item evicted here had
-                # count <= accumulated thresholds, so sum(t) bounds the
-                # frequency of anything this summary can have missed
-                t = int(np.partition(vals, len(vals) - capacity - 1)[
-                    len(vals) - capacity - 1])
-                counters = {k: v - t for k, v in counters.items() if v - t > 0}
-                decremented += t
+            decremented += mg_merge(counters, pdf[col].value_counts(), capacity)
         if n_rows:
             yield pd.DataFrame(
                 {col: list(counters.keys()) + [None],

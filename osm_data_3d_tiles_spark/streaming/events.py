@@ -279,3 +279,76 @@ def click_purchase_attribution(
             - F.expr("cast(cast(click_ts as timestamp) as long)")
         ).alias("gap_s"),
     )
+
+
+FREQ_OUT_SCHEMA = (
+    "group string, item string, lower_count long, miss_bound long"
+)
+FREQ_STATE_SCHEMA = (
+    "items array<string>, counts array<long>, decremented long"
+)
+
+
+def _frequent_items_fn(capacity: int, k: int):
+    """Closure building the applyInPandasWithState function (capacity/k are
+    plan-time constants; state holds one MG summary per group)."""
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        from ..operators.sketches import mg_merge
+
+        if state.exists:
+            items, counts, decremented = state.get
+            counters = dict(zip(items, (int(c) for c in counts)))
+        else:
+            counters, decremented = {}, 0
+        for pdf in pdf_iter:
+            decremented += mg_merge(
+                counters, pdf["item"].dropna().value_counts(), capacity
+            )
+        state.update((list(counters), [int(v) for v in counters.values()],
+                      int(decremented)))
+        top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        yield pd.DataFrame({
+            "group": [key[0]] * len(top),
+            "item": [i for i, _ in top],
+            "lower_count": [c for _, c in top],
+            "miss_bound": [int(decremented)] * len(top),
+        })
+
+    return fn
+
+
+def streaming_frequent_items(
+    items: DataFrame, capacity: int = 256, k: int = 10
+) -> DataFrame:
+    """Continuous per-group frequent items over a stream of (group, item)
+    rows: one Misra–Gries summary per group lives in managed state and is
+    merged with each micro-batch; after every batch the operator emits the
+    group's current top-k with its lower-bound counts and the summary's
+    exact miss bound (sum of decrement thresholds so far).
+
+    The streaming twin of the batch `heavy_hitters` pass 1
+    (operators/sketches.py) — same kernel (`mg_merge`), same guarantee:
+    `lower_count` undercounts the true stream frequency by at most
+    `miss_bound`, and any item whose true count exceeds `miss_bound` is
+    present in the summary. Unlike the batch operator there is no exact
+    recount pass (the raw stream is gone), so the bound RIDES ALONG in the
+    output instead of gating an exception — the consumer decides whether
+    top-k positions are separated by more than the bound.
+
+    State per group is O(capacity) strings+longs, independent of stream
+    length; groups shuffle once per micro-batch (the groupBy), which is the
+    minimum for keyed state. NULL items are ignored (they cannot be ranked;
+    matches the batch operator's refusal, softened here because a stream
+    cannot retroactively reject)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return items.groupBy("group").applyInPandasWithState(
+        _frequent_items_fn(capacity, k),
+        outputStructType=FREQ_OUT_SCHEMA,
+        stateStructType=FREQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

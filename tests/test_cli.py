@@ -68,3 +68,31 @@ def test_missing_subcommand_errors():
 def test_bad_mode_errors(tmp_path):
     with pytest.raises(SystemExit):
         main(["generate-tileset", "--out", str(tmp_path), "--mode", "nope"])
+
+
+def test_compact_command(spark, tmp_path, capsys):
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    spark.range(0, 5000).selectExpr("id", "id % 7 as v").repartition(16) \
+        .write.parquet(src)
+    rc = main(["compact", "--src", src, "--out", out, "--target-mb", "512",
+               "--sort-by", "id"])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["files"] == 1
+    assert spark.read.parquet(out).count() == 5000
+
+
+def test_cluster_layout_command(spark, tmp_path, capsys):
+    src = str(tmp_path / "cells_src")
+    out = str(tmp_path / "cells_clustered")
+    spark.range(0, 4000).selectExpr(
+        "shiftleft(id % 8, 48) | id as cell", "id as doc_id"
+    ).write.parquet(src)
+    rc = main(["cluster-layout", "--src", src, "--out", out,
+               "--cell-col", "cell", "--prefix-shift", "48"])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["rows"] == 4000
+    import glob
+    assert len(glob.glob(f"{out}/cell_prefix=*")) == 8

@@ -458,3 +458,47 @@ class TestStreamStreamAttribution:
             (r.user_id, r.click_id, r.purchase_id, r.gap_s) for r in batch.collect()
         }
         assert got == want == {(1, 11, 20, 600), (2, 12, 21, 600)}
+
+
+class TestStreamingFrequentItems:
+    def test_state_accumulates_and_matches_exact(self, spark, tmp_path):
+        """Two micro-batches; capacity above the distinct-item count, so the
+        MG summary IS the exact counter and the final emission must equal a
+        plain Counter over both batches, with miss_bound 0."""
+        import collections
+
+        from osm_data_3d_tiles_spark.streaming.events import streaming_frequent_items
+
+        b1 = [("en", w) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 1]
+        b2 = [("en", w) for w in ["b"] * 4 + ["c"] * 1] + [("fr", "x")] * 2
+        src = str(tmp_path / "toks")
+        os.makedirs(src)
+        pd.DataFrame(b1, columns=["group", "item"]).to_parquet(f"{src}/b1.parquet")
+
+        stream = spark.readStream.schema("group string, item string").parquet(src)
+        out = streaming_frequent_items(stream, capacity=64, k=3)
+        q = (
+            out.writeStream.format("memory").queryName("freq_items")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_freq"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            pd.DataFrame(b2, columns=["group", "item"]).to_parquet(f"{src}/b2.parquet")
+            q.processAllAvailable()
+            rows = spark.sql("select * from freq_items").collect()
+        finally:
+            q.stop()
+
+        # keep each group's LATEST emission (update mode appends to the
+        # memory sink; later rows supersede earlier ones per group)
+        latest = {}
+        for r in rows:
+            latest.setdefault(r.group, []).append(r)
+        # the final 'en' snapshot must equal the exact two-batch counter
+        exact = collections.Counter(w for g, w in b1 + b2 if g == "en")
+        want = {(w, c) for w, c in exact.most_common(3)}
+        assert want <= {(r.item, r.lower_count) for r in latest["en"]}
+        assert all(r.miss_bound == 0 for r in rows)
+        assert {r.item for r in latest["fr"]} == {"x"}
