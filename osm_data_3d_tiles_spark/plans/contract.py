@@ -2438,6 +2438,46 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def curation_q(spark, sf_dir):
+        """End-to-end curation rollup — the webtext 'second flagship'
+        composing the pipeline stages a pre-training corpus runs through:
+        exact dedup (keep the min doc_id per identical text), a length
+        gate, then per-(source, lang) survivor counts + whitespace-token
+        sums. One window shuffle on the text hash, one final partial-agg
+        shuffle; every stage is a primitive this contract already checks
+        in isolation — this query pins their COMPOSITION."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        kept = (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("n_chars") >= 50))
+            .drop("_rn")
+        )
+        return kept.groupBy("source", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ", -1)).cast("long")).alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars_sum"),
+        )
+
+    q["curation_pipeline"] = (
+        curation_q,
+        """
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM ranked WHERE rn = 1 AND n_chars >= 50
+        )
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+        FROM kept
+        GROUP BY source, lang
+        """,
+    )
+
     def geo_clusters_q(spark, sf_dir):
         """eps-connectivity spatial clustering (operators/cluster.py):
         deterministic per-doc geotags in a 1000x1000 frame, eps=8 —
