@@ -102,3 +102,39 @@ def exact_quantiles(
         F.max(F.when(F.col("rn") == F.col("m_rank"), F.col(value))).alias("median"),
         F.max(F.when(F.col("rn") == F.col("p90_rank"), F.col(value))).alias("p90"),
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight: str,
+    order: str,
+    step: int,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sample: walk the corpus
+    in `order`, accumulate integer `weight`, keep every row whose running
+    total crosses a multiple of `step` — each row's selection probability
+    is ~weight/step, with AT MOST one selection per row and perfect spread
+    across the corpus (the classic systematic PPS design, e.g. token-budget
+    subsampling: step = total_tokens / sample_size).
+
+    Integer cumulative sums + `div` crossings only — bit-exact across
+    engines, so the whole sampling DESIGN is oracle-checkable (unlike
+    u^(1/w) reservoir designs whose float keys have no cross-engine twin).
+
+    One window shuffle (the global order). At 10^12 rows a single global
+    ordering is the known cost of systematic designs — shard it by running
+    the sampler per partition-key stratum (compose with split_by_hash /
+    cap_per_host) when one total order is too hot.
+    """
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col(weight).cast("long")).over(w)
+    return (
+        df.withColumn("_cum", cum)
+        .filter(
+            F.expr(f"_cum div {step}")
+            > F.expr(f"(_cum - CAST({weight} AS BIGINT)) div {step}")
+        )
+        .drop("_cum")
+    )

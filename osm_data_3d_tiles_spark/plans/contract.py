@@ -2438,6 +2438,34 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def pps_q(spark, sf_dir):
+        """Token-budget subsample (operators/sampling.py::
+        pps_systematic_sample): walk documents in doc_id order, keep every
+        row whose cumulative n_chars crosses a 5000-char stride — PPS
+        systematic sampling with integer cumsum crossings, bit-exact in
+        SQL."""
+        from ..operators.sampling import pps_systematic_sample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return pps_systematic_sample(docs, "n_chars", "doc_id", step=5000).select(
+            "doc_id", "n_chars"
+        )
+
+    q["pps_token_sample"] = (
+        pps_q,
+        """
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   SUM(n_chars) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+            FROM documents
+        )
+        SELECT doc_id, n_chars
+        FROM c
+        WHERE cum // 5000 > (cum - n_chars) // 5000
+        """,
+    )
+
     def curation_q(spark, sf_dir):
         """End-to-end curation rollup — the webtext 'second flagship'
         composing the pipeline stages a pre-training corpus runs through:

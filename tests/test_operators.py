@@ -1297,3 +1297,35 @@ class TestReviewFixes:
         src.mkdir()
         with pytest.raises(ValueError, match="no local parquet bytes"):
             compact_layout(spark, str(src), str(tmp_path / "out"))
+
+
+class TestPpsSample:
+    def test_selection_probability_and_spread(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import pps_systematic_sample
+
+        # 1000 rows of weight 10 -> total 10000; step 100 -> exactly 100 picks,
+        # evenly spread: one per consecutive block of 10 rows
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(1000)], "doc_id long, w long"
+        )
+        got = pps_systematic_sample(df, "w", "doc_id", step=100).collect()
+        ids = sorted(r.doc_id for r in got)
+        assert len(ids) == 100
+        # systematic spread: exactly one pick in each block of 10
+        assert all(b * 10 <= i < (b + 1) * 10 for b, i in enumerate(ids))
+
+    def test_heavy_row_always_selected(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import pps_systematic_sample
+
+        # one row heavier than step is guaranteed in (it must cross a boundary)
+        rows = [(i, 1) for i in range(50)] + [(99, 1000)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = {r.doc_id for r in pps_systematic_sample(df, "w", "doc_id", step=200).collect()}
+        assert 99 in got
+
+    def test_bad_step(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import pps_systematic_sample
+
+        df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
+        with pytest.raises(ValueError, match="step"):
+            pps_systematic_sample(df, "w", "doc_id", step=0)
