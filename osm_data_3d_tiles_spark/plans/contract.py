@@ -1295,6 +1295,49 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def rolling_q(spark, sf_dir):
+        """Per-user event-time rolling aggregates via a RANGE window frame
+        (value-based, not row-based): for every event, the count and
+        scaled-cent sum of that user's events in the trailing hour. RANGE
+        frames are tie-order-independent (the frame is defined by the
+        epoch VALUE), which is what makes the per-event output exactly
+        reproducible cross-engine with no tiebreak column."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            "user_id",
+            F.expr("cast(cast(ts as timestamp) as long)").alias("ts_epoch"),
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("value_c"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_epoch")
+            .rangeBetween(-3599, Window.currentRow)
+        )
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_trailing_hour"),
+            F.sum("value_c").over(w).alias("sum_trailing_hour_c"),
+        )
+
+    q["rolling_hour_stats"] = (
+        rolling_q,
+        """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+            FROM events
+        )
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_trailing_hour,
+               CAST(SUM(value_c) OVER w AS BIGINT) AS sum_trailing_hour_c
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        """,
+    )
+
     def revenue_q(spark, sf_dir):
         """TPC-H Q5-shaped local-supply revenue: customer ⋈ orders ⋈
         lineitem ⋈ supplier (same-nation rule) ⋈ nation ⋈ region='ASIA',
