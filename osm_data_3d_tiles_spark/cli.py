@@ -142,6 +142,23 @@ def cmd_cluster_layout(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Run a SQL string/file against the engine's registered views+functions."""
+    from .sql import run_sql
+
+    spark = _spark(args)
+    query = args.query or open(args.file).read()
+    df = run_sql(spark, query, sf_dir=args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                          "out": args.out}))
+    else:
+        rows = df.limit(args.limit).collect()
+        print(json.dumps({"rows": [r.asDict() for r in rows]}, default=str))
+    return 0
+
+
 def cmd_atlas(args) -> int:
     """Write the packed diffuse texture atlas PNG (procedural frames)."""
     from .functions.atlas import write_atlas_png
@@ -202,6 +219,14 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--cell-col", default="cell")
     z.add_argument("--prefix-shift", type=int, default=48)
     z.set_defaults(fn=cmd_cluster_layout)
+
+    sq = sub.add_parser("sql", help="run SQL against the engine views + functions")
+    sq.add_argument("--sf-dir", default=None, help="parquet table directory")
+    sq.add_argument("--query", default=None)
+    sq.add_argument("--file", default=None)
+    sq.add_argument("--out", default=None, help="write result parquet here")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)

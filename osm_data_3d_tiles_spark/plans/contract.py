@@ -1295,6 +1295,52 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def cube_q(spark, sf_dir):
+        """Multi-dimensional CUBE rollup: counts + scaled-cent sums for
+        every combination of (event_type, day) including both partial and
+        grand totals. NULL group markers are coalesced to sentinels ('ALL'
+        / -1) and disambiguated by grouping_id — real NULLs vs subtotal
+        NULLs — because NULL/NaN in output poisons cross-engine compares."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type",
+            F.expr("cast(cast(ts as timestamp) as long) div 86400").alias("day"),
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("value_c"),
+        )
+        return (
+            ev.cube("event_type", "day")
+            .agg(
+                F.grouping_id().cast("long").alias("gid"),
+                F.count("*").alias("n"),
+                F.sum("value_c").alias("value_sum_c"),
+            )
+            .select(
+                F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                F.coalesce("day", F.lit(-1)).alias("day"),
+                "gid",
+                "n",
+                "value_sum_c",
+            )
+        )
+
+    q["events_cube"] = (
+        cube_q,
+        """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+            FROM events
+        )
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(day, -1) AS day,
+               CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(value_c) AS BIGINT) AS value_sum_c
+        FROM e
+        GROUP BY CUBE (event_type, day)
+        """,
+    )
+
     def rolling_q(spark, sf_dir):
         """Per-user event-time rolling aggregates via a RANGE window frame
         (value-based, not row-based): for every event, the count and

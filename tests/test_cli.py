@@ -96,3 +96,13 @@ def test_cluster_layout_command(spark, tmp_path, capsys):
     assert got["rows"] == 4000
     import glob
     assert len(glob.glob(f"{out}/cell_prefix=*")) == 8
+
+
+def test_sql_command(spark, capsys):
+    rc = main(["sql", "--sf-dir", "/root/testdata/sf0.001",
+               "--query",
+               "SELECT lang, COUNT(*) AS n, "
+               "SUM(token_count(text)) AS toks FROM documents GROUP BY lang"])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["rows"] and all("lang" in r and r["toks"] > 0 for r in got["rows"])
