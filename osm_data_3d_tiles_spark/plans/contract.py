@@ -2420,6 +2420,33 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def norms_q(spark, sf_dir):
+        """Per-vector squared L2 norm in fixed point via array HOFs —
+        transform + aggregate INSIDE the row (no explode, no shuffle at
+        all): the plan is a single project over the scan, the shape that
+        survives 10^12 rows untouched. Components scale to micro-units
+        before squaring so the arithmetic is integer-exact cross-engine."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return emb.selectExpr(
+            "vec_id",
+            "aggregate(transform(embedding, v -> "
+            "  cast(floor(cast(v as double) * 1000000 + 0.5) as bigint)"
+            "  * cast(floor(cast(v as double) * 1000000 + 0.5) as bigint)), "
+            "  cast(0 as bigint), (acc, x) -> acc + x) as norm2_fp",
+        )
+
+    q["embedding_norms_fp"] = (
+        norms_q,
+        """
+        SELECT vec_id,
+               CAST(list_sum(list_transform(embedding, v ->
+                   CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+                   AS BIGINT) AS norm2_fp
+        FROM embeddings
+        """,
+    )
+
     def quantiles_q(spark, sf_dir):
         """Exact discrete quantiles per language (operators/sampling.py):
         rank-selection median + p90 of n_chars — the curation-threshold
