@@ -138,3 +138,43 @@ def pps_systematic_sample(
         )
         .drop("_cum")
     )
+
+
+def exact_quantiles_by_value(
+    df: DataFrame, value: str, group: str
+) -> DataFrame:
+    """Exact discrete quantiles per group via a VALUE HISTOGRAM — the
+    10^12-row plan for the same answer `exact_quantiles` gives.
+
+    `exact_quantiles` window-sorts every ROW inside each group; fine until
+    a group holds billions of rows. This variant aggregates first: counts
+    per (group, value) collapse the data to the distinct-value histogram
+    (map-side combinable, the only full-data shuffle), then the cumulative
+    walk + rank selection run over histogram cells — thousands of rows,
+    not billions. The selection rule is the same discrete rank statistic:
+    quantile q = the smallest value whose cumulative count reaches the
+    rank, so the result is bit-identical to the sort-based operator (both
+    are exactly SQL-statable; `median`/`p90` of ties land on the same
+    value with no tiebreak column needed at all — ranks fall INSIDE a
+    value's run).
+
+    Returns (group, n, median, p90).
+    """
+    counts = df.groupBy(group, value).agg(F.count("*").alias("_c"))
+    w_cum = (
+        Window.partitionBy(group)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group)
+    cells = (
+        counts.withColumn("cum", F.sum("_c").over(w_cum))
+        .withColumn("n", F.sum("_c").over(w_all))
+        .withColumn("m_rank", F.expr("(n + 1) div 2"))
+        .withColumn("p90_rank", F.expr("(9 * n + 9) div 10"))
+    )
+    return cells.groupBy(group).agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= F.col("m_rank"), F.col(value))).alias("median"),
+        F.min(F.when(F.col("cum") >= F.col("p90_rank"), F.col(value))).alias("p90"),
+    )

@@ -2472,6 +2472,38 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def quantiles_hist_q(spark, sf_dir):
+        """Same statistic as doc_length_quantiles, SCALE plan (operators/
+        sampling.py::exact_quantiles_by_value): aggregate to the per-value
+        histogram first (the only full-data shuffle, map-side combinable),
+        then rank-select over histogram cells — the per-group window never
+        sees raw rows. Both queries must agree bit-for-bit; the driver
+        checks each against the same discrete-rank oracle shape."""
+        from ..operators.sampling import exact_quantiles_by_value
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return exact_quantiles_by_value(docs, "n_chars", "lang")
+
+    q["doc_length_quantiles_hist"] = (
+        quantiles_hist_q,
+        """
+        WITH cells AS (
+            SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+        ),
+        walk AS (
+            SELECT lang, n_chars,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY n_chars
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER (PARTITION BY lang) AS n
+            FROM cells
+        )
+        SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+               MIN(CASE WHEN cum >= (n + 1) // 2 THEN n_chars END) AS median,
+               MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_chars END) AS p90
+        FROM walk GROUP BY lang
+        """,
+    )
+
     def triangles_q(spark, sf_dir):
         """Per-node triangle counts (operators/sketches.py) on a
         deterministic crawl link graph with guaranteed triangles: doc_id

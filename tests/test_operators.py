@@ -1329,3 +1329,30 @@ class TestPpsSample:
         df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
         with pytest.raises(ValueError, match="step"):
             pps_systematic_sample(df, "w", "doc_id", step=0)
+
+
+class TestQuantilesByValue:
+    def test_matches_sort_based_operator(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import (
+            exact_quantiles,
+            exact_quantiles_by_value,
+        )
+
+        import numpy as np
+        rng = np.random.RandomState(21)
+        rows = [(int(g), int(v), int(i))
+                for i, (g, v) in enumerate(zip(rng.randint(0, 4, 3000),
+                                               rng.randint(0, 50, 3000)))]
+        df = spark.createDataFrame(rows, "g long, v long, id long")
+        a = {r.g: (r.n, r.median, r.p90)
+             for r in exact_quantiles(df, "v", "g", "id").collect()}
+        b = {r.g: (r.n, r.median, r.p90)
+             for r in exact_quantiles_by_value(df, "v", "g").collect()}
+        assert a == b
+
+    def test_single_value_group(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import exact_quantiles_by_value
+
+        df = spark.createDataFrame([(1, 7), (1, 7), (1, 7)], "g long, v long")
+        r = exact_quantiles_by_value(df, "v", "g").first()
+        assert (r.n, r.median, r.p90) == (3, 7, 7)
