@@ -76,8 +76,14 @@ def connected_components(
     # upstream pair plan (for shared_ngram_pairs: explode + self-join +
     # dropDuplicates) re-executes once per iteration (measured 49 s → 11 s
     # warm at sf0.1 on the dedup_clusters contract query).
+    # persisted PRE-PARTITIONED on the per-round join key (d): the cached
+    # hash layout satisfies the join's required distribution, so each label
+    # round exchanges only the (small) labels side — the symmetrized edge
+    # list never reshuffles after round 0 (same trick as operators/graph.py)
     sym = _register_persist(
-        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).persist()
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .repartition("d")
+        .persist()
     )
 
     labels = (

@@ -68,9 +68,13 @@ def pagerank(
         raise ValueError("empty node set")
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    # edges annotated with out-degree once; persisted — reused every round
-    ed = _register_persist(e.join(deg, "src").persist())
-    nd = _register_persist(nd.persist())
+    # edges annotated with out-degree once; persisted PRE-PARTITIONED on the
+    # iteration join key: the cached hash layout satisfies the join's
+    # required distribution, so each round exchanges only the rank side —
+    # the edge table (the big side at web scale) never reshuffles after
+    # round 0. Same for the node universe on its join key.
+    ed = _register_persist(e.join(deg, "src").repartition("src").persist())
+    nd = _register_persist(nd.repartition("node").persist())
 
     base = ((den - num) * scale) // (den * n_nodes)
     ranks = _register_persist(
