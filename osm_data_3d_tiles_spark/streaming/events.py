@@ -352,3 +352,29 @@ def streaming_frequent_items(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def idempotent_batch_sink(out_dir: str):
+    """foreachBatch writer with EXACTLY-ONCE effective semantics on top of
+    Structured Streaming's at-least-once batch replay.
+
+    Structured Streaming guarantees a failed micro-batch is re-run with the
+    SAME batch_id over the SAME data; a naive append sink therefore
+    duplicates rows on recovery. This sink writes each batch to its own
+    deterministic partition directory (`batch_id=N`) with overwrite — a
+    replay of batch N rewrites the identical files instead of appending, so
+    `spark.read.parquet(out_dir)` is duplicate-free no matter how many
+    times any batch was attempted. (The same pattern backs Delta/Iceberg
+    `txnAppId`/`txnVersion` idempotent writes; plain parquet gets it from
+    the directory layout.)
+
+    Usage: ``stream.writeStream.foreachBatch(idempotent_batch_sink(path))``.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    return write

@@ -502,3 +502,44 @@ class TestStreamingFrequentItems:
         assert want <= {(r.item, r.lower_count) for r in latest["en"]}
         assert all(r.miss_bound == 0 for r in rows)
         assert {r.item for r in latest["fr"]} == {"x"}
+
+
+class TestIdempotentSink:
+    def test_replayed_batch_does_not_duplicate(self, spark, tmp_path):
+        from osm_data_3d_tiles_spark.streaming.events import idempotent_batch_sink
+
+        out = str(tmp_path / "sink")
+        sink = idempotent_batch_sink(out)
+        b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+        sink(b0, 0)
+        sink(b1, 1)
+        sink(b0, 0)  # recovery replay of batch 0
+        got = spark.read.parquet(out)
+        assert got.count() == 3
+        assert {r.id for r in got.collect()} == {1, 2, 3}
+
+    def test_real_stream_through_sink(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm_data_3d_tiles_spark.streaming.events import idempotent_batch_sink
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        os.makedirs(src)
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame({"id": [1, 2, 3]}), preserve_index=False),
+            f"{src}/b1.parquet",
+        )
+        stream = spark.readStream.schema("id long").parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(idempotent_batch_sink(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.read.parquet(out).count() == 3
