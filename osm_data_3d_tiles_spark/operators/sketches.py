@@ -284,3 +284,124 @@ def heavy_hitters(
             f"(capacity {capacity}); raise capacity"
         )
     return items.sparkSession.createDataFrame(rows, top.schema)
+
+
+def heavy_hitters_by_group(
+    items: DataFrame,
+    group: str = "group",
+    col: str = "item",
+    k: int = 10,
+    capacity: int = 4096,
+) -> DataFrame:
+    """EXACT top-k most frequent items PER GROUP ("top tokens per
+    language") — the grouped form of `heavy_hitters`, same two-pass
+    design generalized over a group key:
+
+      1. map-side: ONE Misra–Gries summary per group per partition
+         (mapInPandas keeps a dict-of-dicts across the partition's
+         batches) plus a per-(partition, group) marker carrying n_rows,
+         n_nulls and the decrement mass T_{p,g};
+      2. distinct (group, item) candidates broadcast-semi-join the raw
+         stream; exact counts per (group, item); per-group top-k via a
+         window over the CANDIDATE counts only (bounded rows, never the
+         raw domain).
+
+    Exactness per group: k-th count > sum_p T_{p,g}; a short list (< k
+    items) requires zero decrements in that group. Any violating group is
+    named in the raised error (no silent partial results). Returns
+    (group, item, cnt, rank) with rank 1..k, tiebreak (cnt DESC, item).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    import pandas as pd
+
+    items = items.select(
+        F.col(group).cast("string").alias(group),
+        F.col(col).cast("string").alias(col),
+    )
+    out_schema = (
+        f"{group} string, {col} string, lower_count long, "
+        "n_nulls long, decremented long"
+    )
+
+    def summarize(batches):
+        per_group: dict = {}
+        nulls: dict = {}
+        dec: dict = {}
+        for pdf in batches:
+            na = pdf[col].isna()
+            for g, n in pdf.loc[na, group].value_counts().items():
+                nulls[g] = nulls.get(g, 0) + int(n)
+            for g, sub in pdf.loc[~na].groupby(group, sort=False):
+                counters = per_group.setdefault(g, {})
+                dec[g] = dec.get(g, 0) + mg_merge(
+                    counters, sub[col].value_counts(), capacity
+                )
+        rows = {group: [], col: [], "lower_count": [],
+                "n_nulls": [], "decremented": []}
+        seen = set(per_group) | set(nulls) | set(dec)
+        for g in seen:
+            for item, c in per_group.get(g, {}).items():
+                rows[group].append(g); rows[col].append(item)
+                rows["lower_count"].append(c)
+                rows["n_nulls"].append(None); rows["decremented"].append(None)
+            rows[group].append(g); rows[col].append(None)
+            rows["lower_count"].append(None)
+            rows["n_nulls"].append(nulls.get(g, 0))
+            rows["decremented"].append(dec.get(g, 0))
+        if rows[group]:
+            yield pd.DataFrame(rows)
+
+    summ = items.mapInPandas(summarize, schema=out_schema).persist()
+    try:
+        meta = {
+            r[group]: (r.miss_bound or 0, r.n_nulls or 0)
+            for r in summ.filter(F.col(col).isNull())
+            .groupBy(group)
+            .agg(
+                F.sum("decremented").alias("miss_bound"),
+                F.sum("n_nulls").alias("n_nulls"),
+            )
+            .collect()
+        }
+        bad_nulls = {g for g, (_mb, nn) in meta.items() if nn}
+        if bad_nulls:
+            raise ValueError(
+                f"heavy_hitters_by_group: NULL items in groups "
+                f"{sorted(bad_nulls)[:5]}; filter them out before ranking"
+            )
+        cands = summ.filter(F.col(col).isNotNull()).select(group, col).distinct()
+        counts = (
+            items.join(F.broadcast(cands), [group, col], "left_semi")
+            .groupBy(group, col)
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy(group).orderBy(F.desc("cnt"), F.asc(col))
+        top = (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        rows = top.collect()
+    finally:
+        summ.unpersist()
+
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r[group], []).append(r)
+    not_exact = []
+    # iterate the MARKER groups, not the result groups: a group whose
+    # candidates were all decremented away has no result rows at all and
+    # must still fail the certificate (same trap the ungrouped operator's
+    # review fix covers)
+    for g, (mb, _nn) in meta.items():
+        rs = by_group.get(g, [])
+        kth = min(r["cnt"] for r in rs) if len(rs) == k else 0
+        if (len(rs) == k and kth <= mb) or (len(rs) < k and mb > 0):
+            not_exact.append((g, kth, mb))
+    if not_exact:
+        raise ValueError(
+            f"heavy_hitters_by_group not provably exact for groups "
+            f"{not_exact[:5]} (capacity {capacity}); raise capacity"
+        )
+    return items.sparkSession.createDataFrame(rows, top.schema)

@@ -2654,6 +2654,46 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def top_tokens_lang_q(spark, sf_dir):
+        """Grouped exact heavy hitters (operators/sketches.py::
+        heavy_hitters_by_group): top-5 tokens PER LANGUAGE via per-group
+        map-side Misra-Gries candidates + broadcast semi-join recount —
+        the window rank only ever sees candidate counts, never the raw
+        token domain."""
+        from ..operators.sketches import heavy_hitters_by_group
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.select(
+            F.col("lang").alias("group"),
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+        ).filter(F.col("token") != "")
+        out = heavy_hitters_by_group(toks, "group", "token", k=5, capacity=1024)
+        return out.select(
+            F.col("group").alias("lang"), "token", "cnt",
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    q["top_tokens_per_lang"] = (
+        top_tokens_lang_q,
+        """
+        WITH toks AS (
+            SELECT lang,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT lang, token, COUNT(*) AS cnt
+            FROM toks WHERE token <> ''
+            GROUP BY lang, token
+        )
+        SELECT lang, token, cnt, CAST(rank AS BIGINT) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY cnt DESC, token) AS rank
+            FROM counts
+        ) WHERE rank <= 5
+        """,
+    )
+
     def geo_clusters_q(spark, sf_dir):
         """eps-connectivity spatial clustering (operators/cluster.py):
         deterministic per-doc geotags in a 1000x1000 frame, eps=8 —

@@ -1356,3 +1356,44 @@ class TestQuantilesByValue:
         df = spark.createDataFrame([(1, 7), (1, 7), (1, 7)], "g long, v long")
         r = exact_quantiles_by_value(df, "v", "g").first()
         assert (r.n, r.median, r.p90) == (3, 7, 7)
+
+
+class TestHeavyHittersByGroup:
+    def test_exact_per_group_topk(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import heavy_hitters_by_group
+
+        import collections
+        import numpy as np
+        rng = np.random.RandomState(17)
+        rows = []
+        for g in ("en", "fr"):
+            for i in range(1, 40):
+                reps = (3000 if g == "en" else 1000) // i
+                rows += [(g, f"{g}_w{i:02d}")] * reps
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "group string, item string").repartition(8)
+        got = heavy_hitters_by_group(df, "group", "item", k=5, capacity=64).toPandas()
+        for g in ("en", "fr"):
+            exact = sorted(
+                collections.Counter(w for gg, w in rows if gg == g).items(),
+                key=lambda kv: (-kv[1], kv[0]))[:5]
+            sub = got[got["group"] == g].sort_values("rank")
+            assert list(zip(sub["item"], sub["cnt"])) == exact
+            assert list(sub["rank"]) == [1, 2, 3, 4, 5]
+
+    def test_flat_group_raises_named(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import heavy_hitters_by_group
+
+        rows = [("hot", "x")] * 500 + [("flat", f"u{i}") for i in range(400)]
+        df = spark.createDataFrame(rows, "group string, item string").repartition(4)
+        with pytest.raises(ValueError, match="flat"):
+            heavy_hitters_by_group(df, "group", "item", k=3, capacity=4)
+
+    def test_null_items_named_group(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import heavy_hitters_by_group
+
+        df = spark.createDataFrame(
+            [("en", "a"), ("en", None), ("fr", "b")], "group string, item string"
+        )
+        with pytest.raises(ValueError, match="NULL items in groups"):
+            heavy_hitters_by_group(df, "group", "item", k=2, capacity=8)
