@@ -146,8 +146,15 @@ def cmd_sql(args) -> int:
     """Run a SQL string/file against the engine's registered views+functions."""
     from .sql import run_sql
 
+    if bool(args.query) == bool(args.file):
+        print("sql: exactly one of --query or --file is required", file=sys.stderr)
+        return 2
+    if args.file:
+        with open(args.file) as fh:
+            query = fh.read()
+    else:
+        query = args.query
     spark = _spark(args)
-    query = args.query or open(args.file).read()
     df = run_sql(spark, query, sf_dir=args.sf_dir)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)

@@ -63,7 +63,8 @@ def morton_key(x: str, y: str) -> Column:
     return F.expr(
         f"CASE WHEN {guard} THEN {morton_sql(x, y)} "
         f"ELSE raise_error(concat('morton_key: coordinate out of [0, 2^31) "
-        f"range: x=', CAST({x} AS STRING), ' y=', CAST({y} AS STRING))) END"
+        f"range: x=', COALESCE(CAST({x} AS STRING), 'NULL'), "
+        f"' y=', COALESCE(CAST({y} AS STRING), 'NULL'))) END"
     )
 
 

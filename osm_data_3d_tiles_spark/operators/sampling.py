@@ -120,6 +120,9 @@ def pps_systematic_sample(
     Integer cumulative sums + `div` crossings only — bit-exact across
     engines, so the whole sampling DESIGN is oracle-checkable (unlike
     u^(1/w) reservoir designs whose float keys have no cross-engine twin).
+    `order` MUST be a unique key (doc_id, url): tied order values make the
+    ROWS-frame cumsum — and therefore the selected set — tie-order-
+    dependent. NULL/negative weights raise per row.
 
     One window shuffle (the global order). At 10^12 rows a single global
     ordering is the known cost of systematic designs — shard it by running
@@ -128,8 +131,19 @@ def pps_systematic_sample(
     """
     if step < 1:
         raise ValueError(f"step must be >= 1, got {step}")
+    # `order` must be a UNIQUE key: a ROWS-frame cumsum over tied order
+    # values is tie-order-dependent, which breaks both run-to-run
+    # determinism and the oracle claim. Weights are validated per row —
+    # a negative weight makes the cumsum non-monotonic (spurious
+    # selections) and a NULL weight would be silently unselectable.
+    checked_w = F.expr(
+        f"CASE WHEN {weight} IS NULL OR {weight} < 0 THEN "
+        f"raise_error(concat('pps_systematic_sample: NULL/negative weight ', "
+        f"COALESCE(CAST({weight} AS STRING), 'NULL'))) "
+        f"ELSE CAST({weight} AS BIGINT) END"
+    )
     w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
-    cum = F.sum(F.col(weight).cast("long")).over(w)
+    cum = F.sum(checked_w).over(w)
     return (
         df.withColumn("_cum", cum)
         .filter(
@@ -153,7 +167,9 @@ def exact_quantiles_by_value(
     walk + rank selection run over histogram cells — thousands of rows,
     not billions. The selection rule is the same discrete rank statistic:
     quantile q = the smallest value whose cumulative count reaches the
-    rank, so the result is bit-identical to the sort-based operator (both
+    rank, so the result is bit-identical to the sort-based operator for
+    NULL-free value columns — NULL values raise (the sort-based operator
+    ranks NULLs first; skipping them here would silently diverge) (both
     are exactly SQL-statable; `median`/`p90` of ties land on the same
     value with no tiebreak column needed at all — ranks fall INSIDE a
     value's run).
@@ -161,6 +177,20 @@ def exact_quantiles_by_value(
     Returns (group, n, median, p90).
     """
     counts = df.groupBy(group, value).agg(F.count("*").alias("_c"))
+    # refuse NULL values: the sort-based operator ranks NULLs first while
+    # MIN() here would skip them — the two would silently return different
+    # medians. One cell per (group, NULL) makes this check nearly free.
+    counts = counts.withColumn(
+        value,
+        F.when(
+            F.col(value).isNull(),
+            F.expr(
+                "raise_error('exact_quantiles_by_value: NULL values in "
+                f"{value}; filter them (the sort-based operator ranks "
+                "NULLs first, this one would skip them)')"
+            ),
+        ).otherwise(F.col(value)),
+    )
     w_cum = (
         Window.partitionBy(group)
         .orderBy(value)

@@ -329,7 +329,11 @@ def heavy_hitters_by_group(
         per_group: dict = {}
         nulls: dict = {}
         dec: dict = {}
+        null_group_rows = 0
         for pdf in batches:
+            gna = pdf[group].isna()
+            null_group_rows += int(gna.sum())
+            pdf = pdf.loc[~gna]
             na = pdf[col].isna()
             for g, n in pdf.loc[na, group].value_counts().items():
                 nulls[g] = nulls.get(g, 0) + int(n)
@@ -340,6 +344,14 @@ def heavy_hitters_by_group(
                 )
         rows = {group: [], col: [], "lower_count": [],
                 "n_nulls": [], "decremented": []}
+        if null_group_rows:
+            # surfaced as a NULL-group marker so the driver raises loudly
+            # (pandas groupby drops NaN keys; without this a NULL group
+            # would silently vanish instead of failing like NULL items do)
+            rows[group].append(None); rows[col].append(None)
+            rows["lower_count"].append(None)
+            rows["n_nulls"].append(null_group_rows)
+            rows["decremented"].append(None)
         seen = set(per_group) | set(nulls) | set(dec)
         for g in seen:
             for item, c in per_group.get(g, {}).items():
@@ -365,6 +377,11 @@ def heavy_hitters_by_group(
             )
             .collect()
         }
+        if None in meta:
+            raise ValueError(
+                f"heavy_hitters_by_group: {meta[None][1]} rows with a NULL "
+                f"group key; filter or sentinel-map them before ranking"
+            )
         bad_nulls = {g for g, (_mb, nn) in meta.items() if nn}
         if bad_nulls:
             raise ValueError(

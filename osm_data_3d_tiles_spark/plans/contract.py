@@ -2427,21 +2427,29 @@ def build_webtext_queries() -> dict:
         survives 10^12 rows untouched. Components scale to micro-units
         before squaring so the arithmetic is integer-exact cross-engine."""
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # NULL elements filtered + empty arrays coalesced to 0 on BOTH
+        # sides: Spark aggregate NULL-propagates and returns 0 on empty,
+        # DuckDB list_sum skips NULLs and returns NULL on empty — without
+        # the normalization the two diverge the day a fixture grows an
+        # empty or NULL-holding vector
         return emb.selectExpr(
             "vec_id",
-            "aggregate(transform(embedding, v -> "
+            "coalesce(aggregate(transform("
+            "  filter(embedding, v -> v is not null), v -> "
             "  cast(floor(cast(v as double) * 1000000 + 0.5) as bigint)"
             "  * cast(floor(cast(v as double) * 1000000 + 0.5) as bigint)), "
-            "  cast(0 as bigint), (acc, x) -> acc + x) as norm2_fp",
+            "  cast(0 as bigint), (acc, x) -> acc + x), cast(0 as bigint))"
+            " as norm2_fp",
         )
 
     q["embedding_norms_fp"] = (
         norms_q,
         """
         SELECT vec_id,
-               CAST(list_sum(list_transform(embedding, v ->
+               CAST(COALESCE(list_sum(list_transform(
+                   list_filter(embedding, v -> v IS NOT NULL), v ->
                    CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
-                   * CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+                   * CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))), 0)
                    AS BIGINT) AS norm2_fp
         FROM embeddings
         """,

@@ -27,16 +27,20 @@ TABLES = (
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
-    """Temp view per parquet table under `sf_dir` (missing files skipped —
-    a pages-only deployment has no TPC-H dims). Returns registered names."""
-    import os
+    """Temp view per parquet table under `sf_dir` (missing tables skipped —
+    a pages-only deployment has no TPC-H dims). Probes by ATTEMPTING the
+    read, not os.path.exists, so remote URIs (s3a://, hdfs://) register
+    exactly like local paths. Returns registered names."""
+    from pyspark.errors import AnalysisException
 
     done = []
     for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
+        path = f"{sf_dir.rstrip('/')}/{t}.parquet"
+        try:
             spark.read.parquet(path).createOrReplaceTempView(t)
-            done.append(t)
+        except AnalysisException:
+            continue
+        done.append(t)
     return done
 
 

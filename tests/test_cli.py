@@ -106,3 +106,8 @@ def test_sql_command(spark, capsys):
     assert rc == 0
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert got["rows"] and all("lang" in r and r["toks"] > 0 for r in got["rows"])
+
+
+def test_sql_command_requires_exactly_one_source(capsys):
+    assert main(["sql", "--sf-dir", "/root/testdata/sf0.001"]) == 2
+    assert "exactly one of" in capsys.readouterr().err

@@ -1397,3 +1397,33 @@ class TestHeavyHittersByGroup:
         )
         with pytest.raises(ValueError, match="NULL items in groups"):
             heavy_hitters_by_group(df, "group", "item", k=2, capacity=8)
+
+
+class TestReviewFixesRound2:
+    def test_grouped_hh_null_group_key_refused(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import heavy_hitters_by_group
+
+        df = spark.createDataFrame(
+            [(None, "x")] * 5 + [("en", "a")] * 3, "group string, item string"
+        )
+        with pytest.raises(ValueError, match="NULL group key"):
+            heavy_hitters_by_group(df, "group", "item", k=1, capacity=8)
+
+    def test_quantiles_by_value_null_values_refused(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import exact_quantiles_by_value
+
+        df = spark.createDataFrame(
+            [(1, None), (1, None), (1, 5)], "g long, v long"
+        )
+        with pytest.raises(Exception, match="NULL values"):
+            exact_quantiles_by_value(df, "v", "g").collect()
+
+    def test_pps_null_and_negative_weight_raise(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import pps_systematic_sample
+
+        bad_null = spark.createDataFrame([(1, None), (2, 5)], "doc_id long, w long")
+        with pytest.raises(Exception, match="NULL/negative weight"):
+            pps_systematic_sample(bad_null, "w", "doc_id", step=3).collect()
+        bad_neg = spark.createDataFrame([(1, -4), (2, 5)], "doc_id long, w long")
+        with pytest.raises(Exception, match="NULL/negative weight"):
+            pps_systematic_sample(bad_neg, "w", "doc_id", step=3).collect()

@@ -491,8 +491,10 @@ class TestStreamingFrequentItems:
         finally:
             q.stop()
 
-        # keep each group's LATEST emission (update mode appends to the
-        # memory sink; later rows supersede earlier ones per group)
+        # the memory sink in update mode accumulates EVERY emission (rows
+        # carry no batch id), so assertions below check (a) the exact final
+        # counts are present and (b) no emission ever OVERcounts — the MG
+        # lower bound is monotone, so overshoot would be a real bug
         latest = {}
         for r in rows:
             latest.setdefault(r.group, []).append(r)
@@ -500,6 +502,7 @@ class TestStreamingFrequentItems:
         exact = collections.Counter(w for g, w in b1 + b2 if g == "en")
         want = {(w, c) for w, c in exact.most_common(3)}
         assert want <= {(r.item, r.lower_count) for r in latest["en"]}
+        assert all(r.lower_count <= exact[r.item] for r in latest["en"])
         assert all(r.miss_bound == 0 for r in rows)
         assert {r.item for r in latest["fr"]} == {"x"}
 
