@@ -88,3 +88,40 @@ def snapshot_diff(
             F.coalesce("new_value", F.lit(-1)).alias("new_value"),
         )
     )
+
+
+def apply_changes(
+    target: DataFrame, changes: DataFrame, key: str
+) -> DataFrame:
+    """MERGE-style CDC apply — the write half of the snapshot_diff story:
+    given the current `target` and a change feed (op, key, <value cols>),
+    produce the next snapshot.
+
+    `changes` columns: `op` ∈ {'I', 'U', 'D'} plus `key` plus the full
+    value column set of `target`. Semantics are those of Iceberg/Delta
+    MERGE with one action per key: D removes the key, I/U upsert the
+    feed's row (I on a present key and U on an absent key both behave as
+    upsert — the tolerant interpretation every CDC consumer ends up
+    needing, since feeds replay). Exactly one change row per key is
+    required — duplicates make "the" post-image ambiguous; this raises
+    rather than picking one silently.
+
+    Plan: one full-data anti-join of target against the (small) touched-key
+    set, plus a union with the upsert rows — the target is never shuffled
+    beyond the join, and at 10^12 rows the touched-key side is the
+    broadcast side by construction (a CDC batch is tiny vs the table).
+    """
+    n_changes = changes.count()
+    n_keys = changes.select(key).distinct().count()
+    if n_changes != n_keys:
+        raise ValueError(
+            f"apply_changes: {n_changes} change rows but {n_keys} distinct "
+            f"keys — one change per key required (compact the feed first)"
+        )
+    bad_ops = changes.filter(~F.col("op").isin("I", "U", "D"))
+    if bad_ops.limit(1).count():
+        raise ValueError("apply_changes: op must be one of I/U/D")
+    touched = changes.select(key).distinct()
+    kept = target.join(F.broadcast(touched), key, "left_anti")
+    upserts = changes.filter(F.col("op") != "D").select(*target.columns)
+    return kept.unionByName(upserts)

@@ -1216,6 +1216,59 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def cdc_apply_q(spark, sf_dir):
+        """MERGE-style CDC apply (operators/reconcile.py::apply_changes):
+        customer snapshot + a deterministic change feed (delete keys ≡0,
+        update keys ≡1 (+1000c), insert shifted keys ≡2 mod 7) → the next
+        snapshot. Touched keys broadcast; the target shuffles only for the
+        anti-join."""
+        from ..operators.reconcile import apply_changes
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        target = cust.select(
+            F.col("c_custkey").alias("id"),
+            F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias("v"),
+        )
+        m = F.col("c_custkey") % 7
+        changes = (
+            cust.filter(m.isin(0, 1, 2))
+            .select(
+                F.when(m == 0, "D").when(m == 1, "U").otherwise("I").alias("op"),
+                F.when(m == 2, F.col("c_custkey") + 1000000)
+                .otherwise(F.col("c_custkey"))
+                .alias("id"),
+                (
+                    F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")
+                    + F.when(m == 1, 1000).otherwise(0)
+                ).alias("v"),
+            )
+        )
+        return apply_changes(target, changes, "id")
+
+    q["cdc_apply"] = (
+        cdc_apply_q,
+        """
+        WITH target AS (
+            SELECT c_custkey AS id,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+            FROM customer
+        ),
+        changes AS (
+            SELECT CASE c_custkey % 7 WHEN 0 THEN 'D' WHEN 1 THEN 'U'
+                        ELSE 'I' END AS op,
+                   CASE WHEN c_custkey % 7 = 2 THEN c_custkey + 1000000
+                        ELSE c_custkey END AS id,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                     + CASE WHEN c_custkey % 7 = 1 THEN 1000 ELSE 0 END AS v
+            FROM customer WHERE c_custkey % 7 IN (0, 1, 2)
+        )
+        SELECT id, v FROM target
+        WHERE id NOT IN (SELECT id FROM changes)
+        UNION ALL
+        SELECT id, v FROM changes WHERE op <> 'D'
+        """,
+    )
+
     def retention_q(spark, sf_dir):
         """Cohort retention: cohort = each user's first-active day; cell
         (cohort_day, day_offset) counts distinct users active that many

@@ -1427,3 +1427,54 @@ class TestReviewFixesRound2:
         bad_neg = spark.createDataFrame([(1, -4), (2, 5)], "doc_id long, w long")
         with pytest.raises(Exception, match="NULL/negative weight"):
             pps_systematic_sample(bad_neg, "w", "doc_id", step=3).collect()
+
+
+class TestApplyChanges:
+    def _target(self, spark):
+        return spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id long, v long"
+        )
+
+    def test_merge_semantics(self, spark):
+        from osm_data_3d_tiles_spark.operators.reconcile import apply_changes
+
+        changes = spark.createDataFrame(
+            [("U", 2, 99), ("D", 3, 0), ("I", 4, 40)],
+            "op string, id long, v long",
+        )
+        got = {r.id: r.v for r in apply_changes(self._target(spark), changes, "id").collect()}
+        assert got == {1: 10, 2: 99, 4: 40}
+
+    def test_roundtrip_with_snapshot_diff(self, spark):
+        """diff(old, new) fed back through apply_changes(old) must
+        reproduce new — the two operators are inverses."""
+        from osm_data_3d_tiles_spark.operators.reconcile import apply_changes, snapshot_diff
+
+        old = self._target(spark)
+        new = spark.createDataFrame([(1, 10), (2, 21), (5, 50)], "id long, v long")
+        d = snapshot_diff(old, new, "id", "v")
+        changes = d.select(
+            F.when(F.col("change_type") == "inserted", "I")
+            .when(F.col("change_type") == "deleted", "D")
+            .otherwise("U").alias("op"),
+            "id",
+            F.col("new_value").alias("v"),
+        )
+        got = {r.id: r.v for r in apply_changes(old, changes, "id").collect()}
+        assert got == {r.id: r.v for r in new.collect()}
+
+    def test_duplicate_keys_refused(self, spark):
+        from osm_data_3d_tiles_spark.operators.reconcile import apply_changes
+
+        changes = spark.createDataFrame(
+            [("U", 2, 99), ("D", 2, 0)], "op string, id long, v long"
+        )
+        with pytest.raises(ValueError, match="one change per key"):
+            apply_changes(self._target(spark), changes, "id")
+
+    def test_bad_op_refused(self, spark):
+        from osm_data_3d_tiles_spark.operators.reconcile import apply_changes
+
+        changes = spark.createDataFrame([("X", 2, 99)], "op string, id long, v long")
+        with pytest.raises(ValueError, match="I/U/D"):
+            apply_changes(self._target(spark), changes, "id")
