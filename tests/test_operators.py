@@ -1478,3 +1478,24 @@ class TestApplyChanges:
         changes = spark.createDataFrame([("X", 2, 99)], "op string, id long, v long")
         with pytest.raises(ValueError, match="I/U/D"):
             apply_changes(self._target(spark), changes, "id")
+
+
+class TestSpatialClustersSkew:
+    def test_hot_cell_still_exact(self, spark):
+        """Dense-city skew: 600 points inside ONE eps-cell (the worst join
+        key) plus a sparse far field — the quadratic hot-cell candidate
+        blowup must neither lose pairs nor produce wrong labels."""
+        from osm_data_3d_tiles_spark.operators.cluster import spatial_clusters
+
+        import numpy as np
+        rng = np.random.RandomState(31)
+        hot = [(int(i), float(x), float(y))
+               for i, (x, y) in enumerate(rng.uniform(0, 4.9, size=(600, 2)))]
+        far = [(1000 + i, 1000.0 + 20.0 * i, 1000.0) for i in range(30)]
+        df = spark.createDataFrame(hot + far, "pid long, x double, y double")
+        got = {r.pid: r.cluster_id for r in spatial_clusters(df, 5.0).collect()}
+        # the hot cell is one transitive cluster (every pair within a 4.9-box
+        # is within eps=5 of SOME chain) — min id 0 labels all 600
+        assert all(got[i] == 0 for i, _, _ in hot)
+        # far-field points are 20 apart: all singletons
+        assert all(got[p] == p for p, _, _ in far)
