@@ -1216,6 +1216,43 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def unpivot_q(spark, sf_dir):
+        """Wide→long unpivot (melt) — the inverse of the batch-table pivot:
+        each lineitem's three money/quantity measures (scaled to integer
+        cents) become (key, metric, value) rows via the native
+        DataFrame.unpivot (Expand node, no shuffle, no UDF). Oracle: the
+        equivalent ANSI UNION ALL."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "cast(floor(l_quantity * 100 + 0.5) as bigint) as quantity_c",
+            "cast(floor(l_extendedprice * 100 + 0.5) as bigint) as extendedprice_c",
+            "cast(floor(l_discount * 100 + 0.5) as bigint) as discount_c",
+        )
+        return li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity_c", "extendedprice_c", "discount_c"],
+            "metric",
+            "value",
+        )
+
+    q["lineitem_unpivot"] = (
+        unpivot_q,
+        """
+        SELECT l_orderkey, l_linenumber, 'quantity_c' AS metric,
+               CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice_c',
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount_c',
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+        FROM lineitem
+        """,
+    )
+
     def cdc_apply_q(spark, sf_dir):
         """MERGE-style CDC apply (operators/reconcile.py::apply_changes):
         customer snapshot + a deterministic change feed (delete keys ≡0,
@@ -2530,6 +2567,39 @@ def build_webtext_queries() -> dict:
                MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS median,
                MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90
         FROM ranked GROUP BY lang
+        """,
+    )
+
+    def decile_q(spark, sf_dir):
+        """NTILE decile assignment — the 'drop the shortest decile'
+        curation primitive as a window op: documents ranked per lang by
+        (n_chars, doc_id) (the unique tiebreak makes NTILE deterministic;
+        both engines give early tiles the remainder), rolled up to
+        per-(lang, decile) counts + char sums."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+        return (
+            docs.withColumn("decile", F.ntile(10).over(w))
+            .groupBy("lang", F.col("decile").cast("long").alias("decile"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("n_chars_sum"),
+            )
+        )
+
+    q["doc_decile_counts"] = (
+        decile_q,
+        """
+        WITH t AS (
+            SELECT lang, n_chars,
+                   NTILE(10) OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id) AS decile
+            FROM documents
+        )
+        SELECT lang, CAST(decile AS BIGINT) AS decile,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+        FROM t GROUP BY lang, decile
         """,
     )
 
