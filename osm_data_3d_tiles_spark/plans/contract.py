@@ -1216,6 +1216,49 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def tile_window_q(spark, sf_dir):
+        """Batch path of streaming/events.py::streaming_tile_counts — the
+        flagship geo kernel inside a tumbling event-time rollup: events get
+        deterministic mercator coords, tile assignment runs in native
+        Column math, counts per (5-min window, tile). The oracle restates
+        F.window's epoch-aligned tumbling start as (epoch div 300) * 300."""
+        from ..streaming.events import streaming_tile_counts
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.expr("cast(ts as timestamp)").alias("ts"),
+            (F.lit(MINX) + ((F.col("event_id") * PX_MUL) % PX_MOD).cast("double")
+             / float(PX_MOD) * W).alias("x"),
+            (F.lit(MINY) + ((F.col("event_id") * PY_MUL) % PY_MOD).cast("double")
+             / float(PY_MOD) * H).alias("y"),
+        )
+        out = streaming_tile_counts(ev, window="5 minutes")
+        return out.select(
+            F.expr("cast(window_start as long)").alias("window_epoch"),
+            "tile_x",
+            "tile_y",
+            "n_docs",
+        )
+
+    q["tile_window_counts"] = (
+        tile_window_q,
+        f"""
+        WITH pts AS (
+            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 300 * 300 AS window_epoch,
+                   {MINX!r} + CAST((event_id * {PX_MUL}) % {PX_MOD} AS DOUBLE)
+                       / {float(PX_MOD)!r} * {W!r} AS x,
+                   {MINY!r} + CAST((event_id * {PY_MUL}) % {PY_MOD} AS DOUBLE)
+                       / {float(PY_MOD)!r} * {H!r} AS y
+            FROM events
+        )
+        SELECT window_epoch,
+               CAST(FLOOR((x + {HALF!r}) / {SPAN!r}) AS BIGINT) AS tile_x,
+               CAST(FLOOR(({HALF!r} - y) / {SPAN!r}) AS BIGINT) AS tile_y,
+               COUNT(*) AS n_docs
+        FROM pts
+        GROUP BY 1, 2, 3
+        """,
+    )
+
     def unpivot_q(spark, sf_dir):
         """Wide→long unpivot (melt) — the inverse of the batch-table pivot:
         each lineitem's three money/quantity measures (scaled to integer

@@ -378,3 +378,35 @@ def idempotent_batch_sink(out_dir: str):
         )
 
     return write
+
+
+def streaming_tile_counts(
+    points: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    z: int = 16,
+) -> DataFrame:
+    """The flagship's geo kernel on a STREAM: ingest (ts, x, y) mercator
+    points (geotagged pages as they are crawled), assign each to its z16
+    tile with the same native-Column math the batch engine uses
+    (functions/mercator.tile_x_col — whole-stage codegen, no Python), and
+    roll up watermarked tumbling per-tile counts.
+
+    The live-ops view of tile activity: which map tiles are receiving new
+    documents right now. Batch inputs run the identical plan minus the
+    watermark (batch↔streaming parity is pinned in tests)."""
+    from ..functions.mercator import tile_x_col, tile_y_col
+
+    src = points.withWatermark(ts_col, watermark) if points.isStreaming else points
+    return (
+        src.withColumn("tile_x", tile_x_col(F.col(x_col), z))
+        .withColumn("tile_y", tile_y_col(F.col(y_col), z))
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("win"), "tile_x", "tile_y"
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("win.start").alias("window_start"), "tile_x", "tile_y", "n_docs")
+    )

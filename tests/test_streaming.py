@@ -546,3 +546,56 @@ class TestIdempotentSink:
         finally:
             q.stop()
         assert spark.read.parquet(out).count() == 3
+
+
+class TestStreamingTileCounts:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm_data_3d_tiles_spark.functions import mercator as m
+        from osm_data_3d_tiles_spark.streaming.events import streaming_tile_counts
+
+        ext = m.tile_extent(12, 2103, 1461)
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        rows = pd.DataFrame({
+            "ts": [base + pd.Timedelta(seconds=30 * i) for i in range(20)],
+            "x": [ext[0] + 13.7 * (i + 1) for i in range(20)],
+            "y": [ext[1] + 21.3 * (i + 1) for i in range(20)],
+        })
+        src = str(tmp_path / "pts")
+        os.makedirs(src)
+        pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                       f"{src}/b1.parquet",
+                       coerce_timestamps="us", allow_truncated_timestamps=True)
+        # close all windows
+        late = pd.DataFrame({"ts": [base + pd.Timedelta(hours=2)],
+                             "x": [ext[0]], "y": [ext[1]]})
+
+        stream = spark.readStream.schema("ts timestamp, x double, y double").parquet(src)
+        q = (
+            streaming_tile_counts(stream)
+            .writeStream.format("memory").queryName("tile_counts")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tiles"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            pq.write_table(pa.Table.from_pandas(late, preserve_index=False),
+                           f"{src}/b2.parquet",
+                           coerce_timestamps="us", allow_truncated_timestamps=True)
+            q.processAllAvailable()
+            got = {
+                (r.window_start, r.tile_x, r.tile_y): r.n_docs
+                for r in spark.sql("select * from tile_counts").collect()
+            }
+        finally:
+            q.stop()
+
+        batch = streaming_tile_counts(spark.createDataFrame(rows))
+        want = {
+            (r.window_start, r.tile_x, r.tile_y): r.n_docs for r in batch.collect()
+        }
+        assert want  # non-trivial
+        assert all(got.get(k) == v for k, v in want.items())
