@@ -111,16 +111,44 @@ def apply_changes(
     beyond the join, and at 10^12 rows the touched-key side is the
     broadcast side by construction (a CDC batch is tiny vs the table).
     """
-    n_changes = changes.count()
-    n_keys = changes.select(key).distinct().count()
-    if n_changes != n_keys:
+    # ONE validation job (not three) over a persisted feed — the feed also
+    # feeds two plan branches below, so the cache kills 4 recomputations.
+    # NULL op / NULL key are named explicitly: three-valued logic would
+    # otherwise let a NULL op slip past isin() and silently act as a
+    # DELETE (its key anti-joins the target but never upserts), and a
+    # NULL key would append an unkeyed row / no-op a delete.
+    from .dedup import _register_persist
+
+    # the feed is small by construction (a CDC batch vs the table); persist
+    # it for the validation agg + the two plan branches, registered for
+    # dedup.unpersist_all() like every other operator cache in this repo
+    changes = _register_persist(changes.persist())
+    stats = changes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("nk"),
+        F.count(F.when(F.col(key).isNull(), 1)).alias("null_keys"),
+        F.count(
+            F.when(
+                F.col("op").isNull() | ~F.col("op").isin("I", "U", "D"), 1
+            )
+        ).alias("bad_ops"),
+    ).first()
+    if stats.null_keys:
         raise ValueError(
-            f"apply_changes: {n_changes} change rows but {n_keys} distinct "
-            f"keys — one change per key required (compact the feed first)"
+            f"apply_changes: {stats.null_keys} change rows with a NULL "
+            f"{key} — a keyed snapshot cannot upsert or delete NULL keys"
         )
-    bad_ops = changes.filter(~F.col("op").isin("I", "U", "D"))
-    if bad_ops.limit(1).count():
-        raise ValueError("apply_changes: op must be one of I/U/D")
+    if stats.bad_ops:
+        raise ValueError(
+            f"apply_changes: {stats.bad_ops} rows with op not in I/U/D "
+            "(NULL included)"
+        )
+    if stats.n != stats.nk:
+        raise ValueError(
+            f"apply_changes: {stats.n} change rows but {stats.nk} "
+            "distinct keys — one change per key required (compact the "
+            "feed first)"
+        )
     touched = changes.select(key).distinct()
     kept = target.join(F.broadcast(touched), key, "left_anti")
     upserts = changes.filter(F.col("op") != "D").select(*target.columns)

@@ -53,21 +53,49 @@ BX_MOD, BX_MUL = 1000033, 2246822519
 BY_MOD, BY_MUL = 999979, 3266489917
 
 
+def point_x_expr(id_col: str) -> F.Column:
+    """Deterministic in-extent x coordinate from an integer id — THE single
+    Python source of the point-synthesis formula (SQL twin: point_x_sql);
+    every query deriving points from an id MUST use this pair so the Spark
+    and oracle expression trees stay bit-identical."""
+    return F.lit(MINX) + (
+        (F.col(id_col) * F.lit(PX_MUL)) % F.lit(PX_MOD)
+    ).cast("double") / F.lit(float(PX_MOD)) * F.lit(W)
+
+
+def point_y_expr(id_col: str) -> F.Column:
+    return F.lit(MINY) + (
+        (F.col(id_col) * F.lit(PY_MUL)) % F.lit(PY_MOD)
+    ).cast("double") / F.lit(float(PY_MOD)) * F.lit(H)
+
+
+def point_x_sql(id_expr: str) -> str:
+    return (
+        f"{MINX!r} + CAST(({id_expr} * {PX_MUL}) % {PX_MOD} AS DOUBLE)"
+        f" / {float(PX_MOD)!r} * {W!r}"
+    )
+
+
+def point_y_sql(id_expr: str) -> str:
+    return (
+        f"{MINY!r} + CAST(({id_expr} * {PY_MUL}) % {PY_MOD} AS DOUBLE)"
+        f" / {float(PY_MOD)!r} * {H!r}"
+    )
+
+
 def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    px = F.lit(MINX) + ((F.col("doc_id") * F.lit(PX_MUL)) % F.lit(PX_MOD)).cast("double") / F.lit(
-        float(PX_MOD)
-    ) * F.lit(W)
-    py = F.lit(MINY) + ((F.col("doc_id") * F.lit(PY_MUL)) % F.lit(PY_MOD)).cast("double") / F.lit(
-        float(PY_MOD)
-    ) * F.lit(H)
-    return docs.select("doc_id", px.alias("x"), py.alias("y"))
+    return docs.select(
+        "doc_id",
+        point_x_expr("doc_id").alias("x"),
+        point_y_expr("doc_id").alias("y"),
+    )
 
 
 DOC_POINTS_SQL = f"""
 SELECT doc_id,
-       {MINX!r} + CAST((doc_id * {PX_MUL}) % {PX_MOD} AS DOUBLE) / {float(PX_MOD)!r} * {W!r} AS x,
-       {MINY!r} + CAST((doc_id * {PY_MUL}) % {PY_MOD} AS DOUBLE) / {float(PY_MOD)!r} * {H!r} AS y
+       {point_x_sql("doc_id")} AS x,
+       {point_y_sql("doc_id")} AS y
 FROM documents
 """
 
@@ -1226,10 +1254,8 @@ def build_relational_queries() -> dict:
 
         ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
             F.expr("cast(ts as timestamp)").alias("ts"),
-            (F.lit(MINX) + ((F.col("event_id") * PX_MUL) % PX_MOD).cast("double")
-             / float(PX_MOD) * W).alias("x"),
-            (F.lit(MINY) + ((F.col("event_id") * PY_MUL) % PY_MOD).cast("double")
-             / float(PY_MOD) * H).alias("y"),
+            point_x_expr("event_id").alias("x"),
+            point_y_expr("event_id").alias("y"),
         )
         out = streaming_tile_counts(ev, window="5 minutes")
         return out.select(
@@ -1244,10 +1270,8 @@ def build_relational_queries() -> dict:
         f"""
         WITH pts AS (
             SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 300 * 300 AS window_epoch,
-                   {MINX!r} + CAST((event_id * {PX_MUL}) % {PX_MOD} AS DOUBLE)
-                       / {float(PX_MOD)!r} * {W!r} AS x,
-                   {MINY!r} + CAST((event_id * {PY_MUL}) % {PY_MOD} AS DOUBLE)
-                       / {float(PY_MOD)!r} * {H!r} AS y
+                   {point_x_sql("event_id")} AS x,
+                   {point_y_sql("event_id")} AS y
             FROM events
         )
         SELECT window_epoch,

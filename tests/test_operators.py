@@ -1499,3 +1499,23 @@ class TestSpatialClustersSkew:
         assert all(got[i] == 0 for i, _, _ in hot)
         # far-field points are 20 apart: all singletons
         assert all(got[p] == p for p, _, _ in far)
+
+
+class TestApplyChangesNulls:
+    def test_null_op_refused_not_silent_delete(self, spark):
+        from osm_data_3d_tiles_spark.operators.reconcile import apply_changes
+
+        target = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+        # three-valued logic would let NULL op slip past ~isin() and act as
+        # a silent delete of key 2 -- pinned to raise instead
+        changes = spark.createDataFrame([(None, 2, 99)], "op string, id long, v long")
+        with pytest.raises(ValueError, match="op not in I/U/D"):
+            apply_changes(target, changes, "id")
+
+    def test_null_key_refused(self, spark):
+        from osm_data_3d_tiles_spark.operators.reconcile import apply_changes
+
+        target = spark.createDataFrame([(1, 10)], "id long, v long")
+        changes = spark.createDataFrame([("U", None, 99)], "op string, id long, v long")
+        with pytest.raises(ValueError, match="NULL id"):
+            apply_changes(target, changes, "id")
