@@ -2852,6 +2852,37 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def skyline_q(spark, sf_dir):
+        """Pareto-frontier curation (operators/skyline.py): documents not
+        dominated on (n_chars, rarity) — two deterministic maximized
+        criteria; two-phase local/global skyline, oracle = the textbook
+        NOT EXISTS dominance anti-join."""
+        from ..operators.skyline import skyline
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            "n_chars",
+            ((F.col("doc_id") * 7919 + 13) % 1000).alias("rarity"),
+        )
+        return skyline(docs, ["n_chars", "rarity"])
+
+    q["doc_skyline"] = (
+        skyline_q,
+        """
+        WITH t AS (
+            SELECT doc_id, n_chars, (doc_id * 7919 + 13) % 1000 AS rarity
+            FROM documents
+        )
+        SELECT a.doc_id, a.n_chars, a.rarity
+        FROM t a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM t b
+            WHERE b.n_chars >= a.n_chars AND b.rarity >= a.rarity
+              AND (b.n_chars > a.n_chars OR b.rarity > a.rarity)
+        )
+        """,
+    )
+
     def top_tokens_lang_q(spark, sf_dir):
         """Grouped exact heavy hitters (operators/sketches.py::
         heavy_hitters_by_group): top-5 tokens PER LANGUAGE via per-group

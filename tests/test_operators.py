@@ -1519,3 +1519,47 @@ class TestApplyChangesNulls:
         changes = spark.createDataFrame([("U", None, 99)], "op string, id long, v long")
         with pytest.raises(ValueError, match="NULL id"):
             apply_changes(target, changes, "id")
+
+
+class TestSkyline:
+    def test_matches_bruteforce(self, spark):
+        from osm_data_3d_tiles_spark.operators.skyline import skyline
+
+        import numpy as np
+        rng = np.random.RandomState(41)
+        pts = [(int(i), int(a), int(b), int(c))
+               for i, (a, b, c) in enumerate(rng.randint(0, 40, size=(500, 3)))]
+        df = spark.createDataFrame(pts, "id long, a long, b long, c long").repartition(8)
+        got = {r.id for r in skyline(df, ["a", "b", "c"]).collect()}
+        want = set()
+        for i, a, b, c in pts:
+            dominated = any(
+                (x >= a and y >= b and z >= c) and (x > a or y > b or z > c)
+                for j, x, y, z in pts if j != i
+            )
+            if not dominated:
+                want.add(i)
+        assert got == want
+
+    def test_duplicates_all_survive(self, spark):
+        from osm_data_3d_tiles_spark.operators.skyline import skyline
+
+        df = spark.createDataFrame(
+            [(1, 5, 5), (2, 5, 5), (3, 1, 1)], "id long, a long, b long"
+        )
+        got = {r.id for r in skyline(df, ["a", "b"]).collect()}
+        assert got == {1, 2}
+
+    def test_null_criterion_raises(self, spark):
+        from osm_data_3d_tiles_spark.operators.skyline import skyline
+
+        df = spark.createDataFrame([(1, None, 5)], "id long, a long, b long")
+        with pytest.raises(Exception, match="NULL criterion"):
+            skyline(df, ["a", "b"]).collect()
+
+    def test_no_criteria_raises(self, spark):
+        from osm_data_3d_tiles_spark.operators.skyline import skyline
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="at least one"):
+            skyline(df, [])
