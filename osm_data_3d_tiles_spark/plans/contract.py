@@ -1320,6 +1320,71 @@ def build_relational_queries() -> dict:
         """,
     )
 
+    def funnel_q(spark, sf_dir):
+        """Order-respecting 3-step funnel: users who viewed, then clicked
+        at-or-after their first view, then purchased at-or-after that
+        click. Three conditional-min aggregations chained by broadcast
+        joins on the user dimension — each step's table is user-sized, so
+        the event scan is the only data-scale input."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id",
+            "event_type",
+            F.expr("cast(cast(ts as timestamp) as long)").alias("tse"),
+        )
+        s1 = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.min("tse").alias("t1"))
+        )
+        s2 = (
+            ev.filter(F.col("event_type") == "click")
+            .join(F.broadcast(s1), "user_id")
+            .filter(F.col("tse") >= F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("tse").alias("t2"))
+        )
+        s3 = (
+            ev.filter(F.col("event_type") == "purchase")
+            .join(F.broadcast(s2), "user_id")
+            .filter(F.col("tse") >= F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("tse").alias("t3"))
+        )
+        return spark.createDataFrame(
+            [(s1.count(), s2.count(), s3.count())],
+            "n_viewed long, n_clicked_after long, n_purchased_after long",
+        )
+
+    q["funnel_counts"] = (
+        funnel_q,
+        """
+        WITH e AS (
+            SELECT user_id, event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse
+            FROM events
+        ),
+        s1 AS (
+            SELECT user_id, MIN(tse) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(tse) AS t2
+            FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND tse >= t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(tse) AS t3
+            FROM e JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND tse >= t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM s1) AS n_viewed,
+               (SELECT COUNT(*) FROM s2) AS n_clicked_after,
+               (SELECT COUNT(*) FROM s3) AS n_purchased_after
+        """,
+    )
+
     def cdc_apply_q(spark, sf_dir):
         """MERGE-style CDC apply (operators/reconcile.py::apply_changes):
         customer snapshot + a deterministic change feed (delete keys ≡0,
