@@ -27,6 +27,7 @@ from osm_data_3d_tiles_spark.plans.contract import (  # noqa: E402
     build_golden_oracles,
     build_queries,
     build_rows_only_queries,
+    order_for_driver,
 )
 
 
@@ -53,7 +54,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     catalog = {name: fn for name, (fn, _sql) in build_queries().items()}
     catalog.update(build_rows_only_queries())
-    return catalog
+    # The driver checks only the first ~50 registry entries per round; lead
+    # with the queries that have no green CORRECTNESS row yet (round-3 window
+    # covered positions 0-49) so r03 ∪ r04 covers the whole catalog.
+    return order_for_driver(catalog)
 
 
 def oracle_sql() -> dict[str, str]:

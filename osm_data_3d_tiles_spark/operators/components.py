@@ -90,7 +90,20 @@ def connected_components(
         sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     )
     labels = _register_persist(labels.persist())
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # Convergence statistic: sum of xxhash64(node, label) in DECIMAL(38,0),
+    # NOT sum(label) in BIGINT. Raw label sums decrease monotonically and at
+    # 10^12-node scale overflow BIGINT — wrapping silently with ANSI off
+    # ("sum unchanged" then holds only modulo 2^64 over structured, monotone
+    # values) or aborting the job with ANSI on. Hashing first makes
+    # consecutive-round equality with ANY changed label a ~2^-64 random
+    # collision, independent of label structure; the DECIMAL(38,0) sum is
+    # exact (no wrap, no ANSI abort) up to ~10^19 rows.
+    def _label_digest(df: DataFrame):
+        return df.agg(
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_digest(labels)
 
     converged = False
     for it in range(max_iter):
@@ -111,12 +124,13 @@ def connected_components(
             new_labels = _register_persist(new_labels.localCheckpoint(eager=True))
         else:
             new_labels = _register_persist(new_labels.persist())
-        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        cur_sum = _label_digest(new_labels)
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
-            # no label moved this round ⇒ applying the operator again is the
-            # identity ⇒ fixpoint: every node holds its component's min id
+            # no label moved this round (up to a 2^-64 hash-sum collision)
+            # ⇒ applying the operator again is the identity ⇒ fixpoint:
+            # every node holds its component's min id
             converged = True
             break
         prev_sum = cur_sum

@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 
 from ..functions import geometry as g
 from ..functions import mercator as m
+from .dedup import _register_persist
 
 
 def building_centroids(buildings: DataFrame) -> DataFrame:
@@ -235,7 +236,7 @@ def knn_hex_kring(
     if size is None:
         size = m.tile_span(m.Z_LEAF)
 
-    idx = _with_hex(centroids, "cx", "cy", size).persist()
+    idx = _register_persist(_with_hex(centroids, "cx", "cy", size).persist())
     remaining = (
         _with_hex(queries.select("query_id", "x", "y", "k"), "x", "y", size)
         .localCheckpoint(eager=True)

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import _register_persist
+
 
 def _unit_col(vec: F.Column) -> F.Column:
     dot = F.aggregate(F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
@@ -29,6 +31,53 @@ def _unit_col(vec: F.Column) -> F.Column:
 
 def _cosine_col(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _local_topk(
+    scored: DataFrame, query_id_col: str, id_col: str, score_col: str, k: int
+) -> DataFrame:
+    """Per-partition top-k pre-aggregation for the global per-query window.
+
+    A bare `Window.partitionBy(query_id)` over the probed candidate set sends
+    EVERY candidate for a query to one reducer — with n_probe/n_list = 1/2
+    defaults that is half the corpus per query at scale. This stage runs where
+    the candidates already sit (zero shuffle: mapInPandas, no re-partition) and
+    keeps only each partition's top-k per query, so the global window's input
+    is ≤ num_partitions·k rows per query instead of the probe set.
+
+    Correct because any row in the GLOBAL top-k under a total order is in the
+    top-k of whichever partition holds it under the same order; ties break by
+    ascending id exactly as the final window does. Memory is bounded by
+    k × (queries seen in the partition).
+    """
+    schema = scored.schema
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kept: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cur = pd.concat([kept, pdf], ignore_index=True) if kept is not None else pdf
+            kept = (
+                cur.sort_values([score_col, id_col], ascending=[False, True], kind="mergesort")
+                .groupby(query_id_col, sort=False)
+                .head(k)
+            )
+        if kept is not None and len(kept):
+            yield kept
+
+    return scored.mapInPandas(_fn, schema=schema)
+
+
+def _global_topk(
+    pruned: DataFrame, query_id_col: str, id_col: str, score_col: str, k: int
+) -> DataFrame:
+    w = Window.partitionBy(query_id_col).orderBy(F.desc(score_col), F.col(id_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, score_col)
+    )
 
 
 def ann_bruteforce_topk(
@@ -48,13 +97,12 @@ def ann_bruteforce_topk(
         F.col(query_id_col), _unit_col(F.col(query_vec_col).cast("array<double>")).alias("q_unit")
     )
     cand = base.crossJoin(F.broadcast(q))
-    scored = cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "cosine")
+    scored = cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit"))).select(
+        query_id_col, id_col, "cosine"
     )
+    # two-phase top-k: per-partition pre-aggregation, then the tiny global window
+    pruned = _local_topk(scored, query_id_col, id_col, "cosine", k)
+    return _global_topk(pruned, query_id_col, id_col, "cosine", k)
 
 
 def _deterministic_centroids(mat: np.ndarray, ids: np.ndarray, n_list: int) -> np.ndarray:
@@ -135,9 +183,9 @@ def ann_ivf_topk(
     (raise n_list, keep n_probe ≪ n_list) at equal recall.
     """
     spark = embeddings.sparkSession
-    base = embeddings.select(
+    base = _register_persist(embeddings.select(
         F.col(id_col), _unit_col(F.col(vec_col).cast("array<double>")).alias("unit")
-    ).persist()
+    ).persist())
 
     # deterministic, representative sample: TakeOrdered over a stable hash of
     # the id (no full shuffle) — unlike bare limit(), independent of partition
@@ -169,13 +217,12 @@ def ann_ivf_topk(
     )
 
     cand = assigned.join(probes, "list_id")
-    scored = cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "cosine")
+    scored = cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit"))).select(
+        query_id_col, id_col, "cosine"
     )
+    # two-phase top-k: the probe set never funnels into one reducer per query
+    pruned = _local_topk(scored, query_id_col, id_col, "cosine", k)
+    return _global_topk(pruned, query_id_col, id_col, "cosine", k)
 
 
 # ---------------------------------------------------------------------------
@@ -292,9 +339,9 @@ def ann_ivf_pq_topk(
     n_probe (10 → 0.87), not refine, to buy absolute recall. Gates in
     tests/test_operators.py."""
     spark = embeddings.sparkSession
-    base = embeddings.select(
+    base = _register_persist(embeddings.select(
         F.col(id_col), _unit_col(F.col(vec_col).cast("array<double>")).alias("unit")
-    ).persist()
+    ).persist())
 
     sample = base.orderBy(F.xxhash64(F.col(id_col).cast("string"))).limit(4096).toPandas()
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["unit"]])
@@ -345,9 +392,12 @@ def ann_ivf_pq_topk(
             )
 
     scored = cand.mapInPandas(_adc, schema=adc_schema)
+    # two-phase shortlist: per-partition top-(refine·k) before the global
+    # window, so no reducer ever materializes a whole probe set of ADC rows
+    pruned = _local_topk(scored, query_id_col, id_col, "adc", refine * k)
     w_short = Window.partitionBy(query_id_col).orderBy(F.desc("adc"), F.col(id_col))
     shortlist = (
-        scored.withColumn("rn", F.row_number().over(w_short))
+        pruned.withColumn("rn", F.row_number().over(w_short))
         .filter(F.col("rn") <= refine * k)
         .select(query_id_col, id_col)
     )
@@ -357,14 +407,14 @@ def ann_ivf_pq_topk(
         T.StructField(query_id_col, T.LongType()),
         T.StructField("q_unit", T.ArrayType(T.DoubleType())),
     ]))
+    # broadcast the |queries|·refine·k shortlist explicitly — the plan is
+    # pinned, not left to AQE's runtime size estimate (the base side is the
+    # full corpus; a sort-merge fallback here would shuffle it)
     rerank = (
-        shortlist.join(base, id_col)
+        base.join(F.broadcast(shortlist), id_col)
         .join(F.broadcast(qdf), query_id_col)
         .withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
+        .select(query_id_col, id_col, "cosine")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        rerank.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "cosine")
-    )
+    # rerank input is ≤ refine·k rows per query, so the window input is tiny
+    return _global_topk(rerank, query_id_col, id_col, "cosine", k)

@@ -244,6 +244,8 @@ def heavy_hitters(
     GROUP BY / ORDER BY / LIMIT SQL even though the scale path never
     aggregates the full item domain.
     """
+    if k < 1:
+        raise ValueError(f"heavy_hitters: k must be >= 1, got {k}")
     items = items.select(F.col(col).cast("string").alias(col))
     summ = misra_gries_candidates(items, col, capacity).persist()
     try:
@@ -292,6 +294,7 @@ def heavy_hitters_by_group(
     col: str = "item",
     k: int = 10,
     capacity: int = 4096,
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """EXACT top-k most frequent items PER GROUP ("top tokens per
     language") — the grouped form of `heavy_hitters`, same two-pass
@@ -310,7 +313,16 @@ def heavy_hitters_by_group(
     items) requires zero decrements in that group. Any violating group is
     named in the raised error (no silent partial results). Returns
     (group, item, cnt, rank) with rank 1..k, tiebreak (cnt DESC, item).
+
+    Driver state is O(k × |groups|) (the exactness certificate collects
+    per-group markers + the top-k rows). That is fine for lang-like group
+    dimensions; a high-cardinality group key would silently balloon the
+    driver, so group counts past `max_groups` REFUSE loudly (same style
+    as the NULL guards) — for per-host/per-url shapes, pre-bucket the
+    group key or use a windowed exact count instead.
     """
+    if k < 1:
+        raise ValueError(f"heavy_hitters_by_group: k must be >= 1, got {k}")
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
 
@@ -367,6 +379,14 @@ def heavy_hitters_by_group(
 
     summ = items.mapInPandas(summarize, schema=out_schema).persist()
     try:
+        n_groups = summ.filter(F.col(col).isNull()).select(group).distinct().count()
+        if n_groups > max_groups:
+            raise ValueError(
+                f"heavy_hitters_by_group: {n_groups} distinct groups exceeds "
+                f"max_groups={max_groups}; the exactness certificate holds "
+                f"O(k x groups) driver state — pre-bucket the group key or "
+                f"raise max_groups explicitly if the driver can take it"
+            )
         meta = {
             r[group]: (r.miss_bound or 0, r.n_nulls or 0)
             for r in summ.filter(F.col(col).isNull())

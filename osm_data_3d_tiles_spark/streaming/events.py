@@ -25,11 +25,12 @@ def tumbling_counts(
     key_col: str = "event_type",
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    value_col: str = "value",
 ) -> DataFrame:
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("value_sum"))
         .select(
             F.col("win.start").alias("window_start"),
             key_col,
@@ -46,6 +47,7 @@ def sliding_counts(
     window: str = "10 minutes",
     slide: str = "5 minutes",
     watermark: str = "20 minutes",
+    value_col: str = "value",
 ) -> DataFrame:
     """Sliding (hopping) windowed counts — each event lands in
     window/slide overlapping windows; same watermark semantics as
@@ -54,7 +56,7 @@ def sliding_counts(
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window(F.col(ts_col), window, slide).alias("win"), F.col(key_col))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("value_sum"))
         .select(
             F.col("win.start").alias("window_start"),
             key_col,
@@ -70,11 +72,12 @@ def sessionize(
     key_col: str = "user_id",
     gap: str = "30 minutes",
     watermark: str = "1 hour",
+    value_col: str = "value",
 ) -> DataFrame:
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+        .agg(F.count("*").alias("n_events"), F.sum(value_col).alias("value_sum"))
         .select(
             F.col("sess.start").alias("session_start"),
             F.col("sess.end").alias("session_end"),

@@ -1563,3 +1563,54 @@ class TestSkyline:
         df = spark.createDataFrame([(1,)], "id long")
         with pytest.raises(ValueError, match="at least one"):
             skyline(df, [])
+
+
+class TestRound4AdviceFixes:
+    """Regression pins for the round-3 ADVICE items."""
+
+    def test_heavy_hitters_k_zero_refused(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import heavy_hitters
+
+        df = spark.createDataFrame([("a",)] * 3, "item string")
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            heavy_hitters(df, "item", k=0, capacity=64)
+
+    def test_grouped_hh_k_zero_refused(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import heavy_hitters_by_group
+
+        df = spark.createDataFrame([("en", "a")] * 3, "group string, item string")
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            heavy_hitters_by_group(df, "group", "item", k=0, capacity=64)
+
+    def test_grouped_hh_max_groups_refused(self, spark):
+        from osm_data_3d_tiles_spark.operators.sketches import heavy_hitters_by_group
+
+        df = spark.createDataFrame(
+            [(f"g{i}", "a") for i in range(10)], "group string, item string"
+        )
+        with pytest.raises(ValueError, match="exceeds max_groups"):
+            heavy_hitters_by_group(df, "group", "item", k=1, capacity=64, max_groups=5)
+        # at the bound it runs fine
+        got = heavy_hitters_by_group(
+            df, "group", "item", k=1, capacity=64, max_groups=10
+        ).toPandas()
+        assert len(got) == 10
+
+    def test_windowed_counts_value_col_param(self, spark):
+        from osm_data_3d_tiles_spark.streaming.events import (
+            sessionize,
+            sliding_counts,
+            tumbling_counts,
+        )
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:01:00", "view", "u1", 7), ("2024-01-01 00:02:00", "view", "u1", 5)],
+            "ts_s string, event_type string, user_id string, amount long",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        # schema has no column named 'value' — parameterized value_col works
+        t = tumbling_counts(df, value_col="amount").toPandas()
+        assert t["value_sum"].sum() == 12
+        s = sliding_counts(df, value_col="amount").toPandas()
+        assert set(s["value_sum"]) <= {12, 7, 5}
+        sess = sessionize(df, value_col="amount").toPandas()
+        assert sess["value_sum"].sum() == 12
