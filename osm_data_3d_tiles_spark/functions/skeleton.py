@@ -12,8 +12,15 @@ wavefront edges, split events let reflex vertices split the wavefront. Output is
 the per-edge face decomposition the roof builders need, with face vertices in the
 cyclic order the reference expects.
 
-Only simple outer rings are supported (holes → None → the caller's flat-roof
-fallback, mirroring the reference's buildRoofSafe on a thrown skeleton).
+Holes are supported via the full SLAV formulation (Felkel §4: a *set* of
+LAVs, one wavefront per ring): the outer ring shrinks inward, each hole's
+wavefront grows outward, and a reflex vertex whose split point lands on an
+edge of a DIFFERENT wavefront merges the two loops into one (the same
+rewiring that splits a single loop in two — the prev/next relink is
+loop-count-agnostic). This matches the reference, whose WASM skeleton
+receives outer+inner rings (tile3d-multipolygon.ts:275-290), so courtyard
+buildings get real hipped/gabled/gambrel/mansard roofs instead of the old
+flat fallback.
 """
 
 from __future__ import annotations
@@ -135,13 +142,20 @@ def _ring_self_intersects(pts: np.ndarray) -> bool:
     return False
 
 
-def straight_skeleton(ring: np.ndarray, max_iter: int = 10000):
-    """Compute the straight skeleton of a simple polygon.
+def straight_skeleton(ring: np.ndarray, max_iter: int = 10000, holes=None):
+    """Compute the straight skeleton of a simple polygon, optionally with holes.
 
-    ring: (n,2) array, closing vertex optional, any winding (normalized to CCW).
+    ring: (n,2) array, closing vertex optional, any winding (outer is
+    normalized to CCW; each hole in `holes` to CW so the polygon interior is
+    on the left of every traversal).
     Returns faces where faces[i] is the list of (x, y, height) cyclic vertices
-    of original edge i's face — ordered [edge_end, ...skeleton..., edge_start]
-    — or None if the algorithm fails.
+    of original edge i's face — ordered [edge_end, ...skeleton..., edgeStart]
+    — or None if the algorithm fails. Edge indexing is global: the outer
+    ring's edges first (in input order), then each hole's edges in input
+    order. As with flipped outer rings, a ring supplied against its
+    normalized winding keeps face *indices* in input order while face
+    *vertex order* follows the normalized orientation (outer CCW, holes CW —
+    the GeoJSON convention, so conforming inputs see no difference).
 
     Near-degenerate inputs (needle vertices, exactly-parallel wavefronts) can
     miss events on fp ties; a failed run is retried once with the coordinates
@@ -160,25 +174,32 @@ def straight_skeleton(ring: np.ndarray, max_iter: int = 10000):
     provably tiles the footprint to 1e-6 relative, so there is no
     silent-wrong-tiling mode — bad states fall back instead.
     """
-    faces = _straight_skeleton_once(ring, max_iter)
+    holes = [np.asarray(h, dtype=np.float64) for h in (holes or [])]
+    faces = _straight_skeleton_once(ring, max_iter, holes=holes)
     if faces is not None:
         return faces
-    pts = np.asarray(ring, dtype=np.float64)
-    if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
-        pts = pts[:-1]
+
+    def _open(r):
+        r = np.asarray(r, dtype=np.float64)
+        if len(r) > 1 and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        return r
+
+    all_rings = [_open(ring)] + [_open(h) for h in holes]
     # the skeleton is undefined for non-simple rings — the dominant cause of
     # first-attempt failure in adversarial sweeps; checked only on the failure
     # path so the common case never pays the O(n²) scan
-    if _ring_self_intersects(pts):
+    if any(_ring_self_intersects(r) for r in all_rings):
         return None
-    c = pts.mean(axis=0)
+    allpts = np.vstack(all_rings)
+    c = allpts.mean(axis=0)
     # Retry 1 — tiny fixed rotation: breaks axis-aligned fp ties (parallel
     # wavefronts, needle vertices).
     theta = 1e-4
     rot = np.array([[math.cos(theta), -math.sin(theta)],
                     [math.sin(theta), math.cos(theta)]])
-    rotated = (pts - c) @ rot.T + c
-    faces = _straight_skeleton_once(rotated, max_iter)
+    rotated = [(r - c) @ rot.T + c for r in all_rings]
+    faces = _straight_skeleton_once(rotated[0], max_iter, holes=rotated[1:])
     if faces is not None:
         out = []
         for face in faces:
@@ -195,45 +216,73 @@ def straight_skeleton(ring: np.ndarray, max_iter: int = 10000):
     # are those of the jittered ring (relative error ~1e-7, far below any
     # geometry tolerance downstream), and the area-conservation gate inside
     # _straight_skeleton_once still rejects wrong tilings of the jittered ring.
-    scale = max(1.0, float(np.abs(pts - c).max()))
+    scale = max(1.0, float(np.abs(allpts - c).max()))
     for eps in (1e-7, 1e-6, 1e-5):
         jrng = np.random.RandomState(1_234_567)
-        jit = (jrng.rand(*pts.shape) - 0.5) * (eps * scale)
-        faces = _straight_skeleton_once(pts + jit, max_iter)
+        jits = [(jrng.rand(*r.shape) - 0.5) * (eps * scale) for r in all_rings]
+        faces = _straight_skeleton_once(
+            all_rings[0] + jits[0],
+            max_iter,
+            holes=[r + j for r, j in zip(all_rings[1:], jits[1:])],
+        )
         if faces is not None:
             return faces
     return None
 
 
-def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
-    pts = np.asarray(ring, dtype=np.float64)
+def _dedup_ring(r: np.ndarray):
+    pts = np.asarray(r, dtype=np.float64)
     if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
         pts = pts[:-1]
-    n = len(pts)
-    if n < 3:
+    if len(pts) < 3:
         return None
-    # drop exactly-duplicate consecutive points
     keep = [0]
-    for i in range(1, n):
+    for i in range(1, len(pts)):
         if not _approx(pts[i], pts[keep[-1]], 1e-12):
             keep.append(i)
     if _approx(pts[keep[-1]], pts[keep[0]], 1e-12) and len(keep) > 1:
         keep.pop()
     pts = pts[keep]
+    return pts if len(pts) >= 3 else None
+
+
+def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000, holes=None):
+    # SLAV: one wavefront loop per ring. The outer ring is normalized to CCW,
+    # each hole to CW — the polygon interior is then on the LEFT of every
+    # traversal, so `_bisector_for`'s rot90 inward normals and the reflex test
+    # hold unchanged on hole edges (a hole's convex-in-the-hole corner is a
+    # reflex wavefront vertex, exactly as SLAV requires).
+    rings_in = [ring] + list(holes or [])
+    norm_rings: list[np.ndarray] = []
+    flips: list[bool] = []
+    ring_area2: list[float] = []
+    for rix, r in enumerate(rings_in):
+        pts_r = _dedup_ring(r)
+        if pts_r is None:
+            return None
+        m = len(pts_r)
+        a2 = 0.0
+        for i in range(m):
+            j = (i + 1) % m
+            a2 += pts_r[i, 0] * pts_r[j, 1] - pts_r[j, 0] * pts_r[i, 1]
+        want_ccw = rix == 0
+        flip = (a2 > 0) != want_ccw
+        if flip:
+            pts_r = pts_r[::-1]
+        norm_rings.append(pts_r)
+        flips.append(flip)
+        ring_area2.append(abs(a2))
+    pts = norm_rings[0]  # outer ring (CCW) — force-close/inside tests reference it
     n = len(pts)
-    if n < 3:
-        return None
 
-    # normalize to CCW (shoelace > 0)
-    area2 = 0.0
-    for i in range(n):
-        j = (i + 1) % n
-        area2 += pts[i, 0] * pts[j, 1] - pts[j, 0] * pts[i, 1]
-    flipped = area2 < 0
-    if flipped:
-        pts = pts[::-1]
-
-    edges = [(tuple(pts[i]), tuple(pts[(i + 1) % n])) for i in range(n)]
+    edges: list[tuple] = []
+    ring_base: list[int] = []
+    for pts_r in norm_rings:
+        ring_base.append(len(edges))
+        m = len(pts_r)
+        for i in range(m):
+            edges.append((tuple(pts_r[i]), tuple(pts_r[(i + 1) % m])))
+    n_edges = len(edges)
     edge_dirs = [_norm((b[0] - a[0], b[1] - a[1])) for a, b in edges]
 
     uid_counter = [0]
@@ -247,13 +296,15 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
         registry[v.uid] = v
         return v
 
-    lav: list[_Vertex] = []
-    for i in range(n):
-        v = make_vertex(tuple(pts[i]), (i - 1) % n, i)
-        lav.append(v)
-    for i, v in enumerate(lav):
-        v.prev = lav[(i - 1) % n]
-        v.next = lav[(i + 1) % n]
+    lav: list[_Vertex] = []  # every initial wavefront vertex, all loops
+    for rix, pts_r in enumerate(norm_rings):
+        base = ring_base[rix]
+        m = len(pts_r)
+        loop = [make_vertex(tuple(pts_r[i]), base + (i - 1) % m, base + i) for i in range(m)]
+        for i, v in enumerate(loop):
+            v.prev = loop[(i - 1) % m]
+            v.next = loop[(i + 1) % m]
+        lav.extend(loop)
 
     skeleton = _Skeleton()
     heights = {v.uid: 0.0 for v in lav}
@@ -288,7 +339,7 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
         if not v.reflex:
             return []
         out = []
-        for ei in range(n):
+        for ei in range(n_edges):
             if ei in (v.edge_prev, v.edge_next):
                 continue
             e_a, e_b = edges[ei]
@@ -368,7 +419,7 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
     def lav_length(v: _Vertex) -> int:
         count = 1
         w = v.next
-        while w is not v and count <= n * 2 + 4:
+        while w is not v and count <= n_edges * 2 + 4:
             count += 1
             w = w.next
         return count
@@ -436,21 +487,24 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
             v, b_pt, ei = payload
             if not v.valid:
                 continue
-            # locate the wavefront edge derived from original edge ei in v's LAV
+            # locate the wavefront edge derived from original edge ei in ANY
+            # live loop (SLAV): same-loop hits split v's loop in two; a hit in
+            # a DIFFERENT loop (reflex outer vertex reaching a hole's
+            # wavefront, or vice versa) merges the two loops — the relink
+            # below is loop-count-agnostic, so both cases share one code path.
+            # Deterministic scan order (sorted uids) keeps runs reproducible.
             x = None
-            w = v.next
-            guard = 0
-            while w is not v and guard < 4 * n + 8:
-                guard += 1
-                if w.edge_next == ei and w.valid:
-                    # b_pt must lie within the cone of w and w.next bisectors
-                    wn = w.next
-                    d_w = _cross(w.bisector, (b_pt[0] - w.point[0], b_pt[1] - w.point[1]))
-                    d_wn = _cross(wn.bisector, (b_pt[0] - wn.point[0], b_pt[1] - wn.point[1]))
-                    if d_w <= 1e-7 and d_wn >= -1e-7:
-                        x = w
-                        break
-                w = w.next
+            for uid in sorted(alive):
+                w = registry.get(uid)
+                if w is None or not w.valid or w.edge_next != ei:
+                    continue
+                # b_pt must lie within the cone of w and w.next bisectors
+                wn = w.next
+                d_w = _cross(w.bisector, (b_pt[0] - w.point[0], b_pt[1] - w.point[1]))
+                d_wn = _cross(wn.bisector, (b_pt[0] - wn.point[0], b_pt[1] - wn.point[1]))
+                if d_w <= 1e-7 and d_wn >= -1e-7:
+                    x = w
+                    break
             if x is None:
                 continue
             y = x.next
@@ -519,7 +573,7 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
             loop = [v]
             w = v.next
             guard = 0
-            while w is not v and guard <= 2 * n + 4:
+            while w is not v and guard <= 2 * n_edges + 4:
                 guard += 1
                 loop.append(w)
                 w = w.next
@@ -546,7 +600,8 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
             # collapse — an absolute-magnitude scale would make the gate
             # meters-wide and stitch non-equidistant points the area gate
             # cannot catch (fanning a loop to any interior point tiles it)
-            scale = max(1.0, float(np.ptp(pts[:, 0])), float(np.ptp(pts[:, 1])))
+            allpts = np.vstack(norm_rings)
+            scale = max(1.0, float(np.ptp(allpts[:, 0])), float(np.ptp(allpts[:, 1])))
             resid = np.abs(mat @ sol - rhs).max()
             if resid > 1e-6 * scale or h <= -1e-9:
                 # not a concurrent forward collapse — leave stuck → None.
@@ -586,13 +641,14 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
     if alive:
         return None  # did not converge — caller falls back to flat
 
-    faces = _faces_from_arcs(pts, skeleton.arcs)
+    faces = _faces_from_arcs(norm_rings, skeleton.arcs)
     if faces is None:
         return None
     # correctness net: a valid skeleton's faces tile the footprint exactly —
     # reject any tiling whose summed signed area drifts (turns every silent
-    # wrong-tiling mode into the clean flat-roof fallback)
-    poly_area = abs(area2) / 2.0
+    # wrong-tiling mode into the clean flat-roof fallback). With holes the
+    # footprint area is outer minus the holes.
+    poly_area = (ring_area2[0] - sum(ring_area2[1:])) / 2.0
     tiled = 0.0
     for face in faces:
         for i in range(len(face)):
@@ -601,22 +657,26 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000):
             tiled += x0 * y1 - x1 * y0
     if poly_area > 0 and abs(abs(tiled) / 2.0 - poly_area) > 1e-6 * poly_area:
         return None
-    if flipped:
-        # map faces back to original edge indices: original edge i corresponds
-        # to reversed edge (n-2-i) mod n of the CCW ring
-        remapped = [None] * n
-        for i_ccw in range(n):
-            orig = (n - 2 - i_ccw) % n
-            remapped[orig] = faces[i_ccw]
+    if any(flips):
+        # map faces back to each ring's original edge indexing: original edge
+        # i of a reversed m-gon corresponds to normalized edge (m-2-i) mod m
+        remapped = [None] * n_edges
+        for rix, pts_r in enumerate(norm_rings):
+            base, m = ring_base[rix], len(pts_r)
+            for j in range(m):
+                orig = (m - 2 - j) % m if flips[rix] else j
+                remapped[base + orig] = faces[base + j]
         faces = remapped
     return faces
 
 
-def _faces_from_arcs(pts: np.ndarray, arcs):
+def _faces_from_arcs(rings, arcs):
     """Reconstruct per-edge faces from boundary + skeleton arcs via leftmost-turn
-    planar traversal. Returns list of faces (list of (x, y, h)) per original edge
-    where face[k][0] == edge end, face[k][-1] == edge start."""
-    n = len(pts)
+    planar traversal. `rings`: list of (m,2) arrays — outer CCW first, holes CW —
+    so the polygon interior is left of every directed boundary edge and each
+    edge's face walk stays inside the footprint. Returns list of faces (list of
+    (x, y, h)) per global edge where face[k][0] == edge end, face[k][-1] ==
+    edge start."""
     key = lambda p: (round(p[0], 7), round(p[1], 7))
     nodes: dict = {}
     height: dict = {}
@@ -637,11 +697,12 @@ def _faces_from_arcs(pts: np.ndarray, arcs):
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
 
-    boundary_keys = []
-    for i in range(n):
-        boundary_keys.append(node(tuple(pts[i]), 0.0))
-    for (a, b) in zip(boundary_keys, boundary_keys[1:] + boundary_keys[:1]):
-        add_edge(a, b)
+    directed_edges = []  # (a_key, b_key) per global edge, normalized orientation
+    for pts_r in rings:
+        ring_keys = [node(tuple(p), 0.0) for p in pts_r]
+        for a, b in zip(ring_keys, ring_keys[1:] + ring_keys[:1]):
+            add_edge(a, b)
+            directed_edges.append((a, b))
     for (p, q) in arcs:
         ka = node((p[0], p[1]), p[2])
         kb = node((q[0], q[1]), q[2])
@@ -651,9 +712,7 @@ def _faces_from_arcs(pts: np.ndarray, arcs):
         return math.atan2(nodes[b][1] - nodes[a][1], nodes[b][0] - nodes[a][0])
 
     faces_out = []
-    for i in range(n):
-        a = boundary_keys[i]
-        b = boundary_keys[(i + 1) % n]
+    for a, b in directed_edges:
         # walk: a -> b, then repeatedly take the most-clockwise (rightmost) turn
         # relative to the incoming direction, which traces the face left of a->b
         face = [a, b]

@@ -164,12 +164,16 @@ def _triangulate_face(
 
 
 def _faces_for(params: dict):
+    """Outer + inner rings → per-edge skeleton faces, matching the reference's
+    getStraightSkeletonInput (tile3d-multipolygon.ts:275-290: outer first,
+    then every inner ring). A failed skeleton returns None → the dispatch's
+    flat fallback (reference buildRoofSafe semantics)."""
     rings, ring_types = params["rings"], params["ring_types"]
     outers = [np.asarray(r, dtype=np.float64) for r, t in zip(rings, ring_types) if t == "outer"]
-    inners = [r for r, t in zip(rings, ring_types) if t == "inner"]
-    if not outers or inners:
+    inners = [np.asarray(r, dtype=np.float64) for r, t in zip(rings, ring_types) if t == "inner"]
+    if not outers:
         return None
-    return straight_skeleton(outers[0])
+    return straight_skeleton(outers[0], holes=inners)
 
 
 def _max_skeleton_height(faces) -> float:

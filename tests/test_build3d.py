@@ -261,15 +261,75 @@ class TestSkeletonRoofs:
         assert r is not None
         assert tri_area_xy(r["position"]) == pytest.approx(256.0, rel=1e-6)
 
-    def test_hole_falls_back(self):
+    def test_hole_hipped_real_roof(self):
+        """Round-4: holed footprints get a REAL skeleton roof (reference feeds
+        outer+inner rings to its WASM skeleton, tile3d-multipolygon.ts:275-290)
+        instead of the old flat fallback."""
         p = base_params(SQUARE, texture_id=1)
         p["rings"] = [SQUARE, np.array([[4, 4], [4, 6], [6, 6], [6, 4], [4, 4]], float)]
         p["ring_types"] = ["outer", "inner"]
-        assert skeleton_roof(p, "hipped") is None
-        # and the dispatch produces the flat fallback
-        r = roofs.build_roof({**p, "type": "hipped"})
+        r = skeleton_roof(p, "hipped")
+        assert r is not None
+        # the roof tiles exactly the outer-minus-hole area
+        assert tri_area_xy(r["position"]) == pytest.approx(96.0, rel=1e-6)
         pos = r["position"].reshape(-1, 3)
-        assert np.all(pos[:, 2] == 12.0)
+        # slopes from eave (z = min_height = 12) to the ridge at full height
+        # (max skeleton offset for this donut is 2 -> apex z = 12 + 3)
+        assert pos[:, 2].min() == pytest.approx(12.0)
+        assert pos[:, 2].max() == pytest.approx(15.0)
+        # dispatch path produces the same sloped roof (no flat fallback)
+        rb = roofs.build_roof({**p, "type": "hipped"})
+        posb = rb["position"].reshape(-1, 3)
+        assert posb[:, 2].max() > 12.0
+
+    def test_hole_gabled_and_mansard_run(self):
+        p = base_params(SQUARE, texture_id=1)
+        p["rings"] = [SQUARE, np.array([[4, 4], [4, 6], [6, 6], [6, 4], [4, 4]], float)]
+        p["ring_types"] = ["outer", "inner"]
+        for rtype in ("gabled", "gambrel", "mansard", "quadrupleSaltbox"):
+            r = skeleton_roof(p, rtype)
+            assert r is not None, rtype
+            assert len(r["position"]) > 0, rtype
+
+    def test_donut_skeleton_structure(self):
+        """Golden for the SLAV hole path: 4 outer + 4 hole edges, one quad
+        face per edge, ridge square at offset 2, exact area conservation."""
+        outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+        hole = np.array([[4, 4], [4, 6], [6, 6], [6, 4]], float)  # CW (GeoJSON)
+        faces = straight_skeleton(outer, holes=[hole])
+        assert faces is not None and len(faces) == 8
+        assert all(len(f) == 4 for f in faces)
+        tot = 0.0
+        for f in faces:
+            xy = np.array([(v[0], v[1]) for v in f])
+            x, y = xy[:, 0], xy[:, 1]
+            tot += abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2
+        assert tot == pytest.approx(96.0)
+        ridge = {(round(v[0], 6), round(v[1], 6)) for f in faces for v in f if v[2] > 0}
+        assert ridge == {(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0)}
+        assert all(v[2] == pytest.approx(2.0) for f in faces for v in f if v[2] > 0)
+        # face-per-edge contract holds for hole edges too: face[0] == edge end,
+        # face[-1] == edge start (normalized CW orientation == input here)
+        for i in range(4):
+            a, b = hole[i], hole[(i + 1) % 4]
+            f = faces[4 + i]
+            assert f[0][:2] == pytest.approx(tuple(b))
+            assert f[-1][:2] == pytest.approx(tuple(a))
+
+    def test_two_hole_merge_events(self):
+        """Two holes force two loop-MERGE split events (hole wavefront meets
+        outer wavefront) before the final collapses."""
+        outer = np.array([[0, 0], [20, 0], [20, 10], [0, 10]], float)
+        holes = [np.array([[2, 2], [5, 2], [5, 5], [2, 5]], float)[::-1],
+                 np.array([[12, 4], [16, 4], [16, 8], [12, 8]], float)[::-1]]
+        faces = straight_skeleton(outer, holes=holes)
+        assert faces is not None and len(faces) == 12
+        tot = 0.0
+        for f in faces:
+            xy = np.array([(v[0], v[1]) for v in f])
+            x, y = xy[:, 0], xy[:, 1]
+            tot += abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2
+        assert tot == pytest.approx(200.0 - 9.0 - 16.0)
 
 
 class TestOrientedRoofs:
