@@ -200,3 +200,236 @@ def write_atlas_png(path: str, atlas_size: int = 2580, tile_size: int = 512) -> 
     """Render + write the packed diffuse atlas PNG; returns the path."""
     write_png(path, render_atlas(atlas_size, tile_size))
     return path
+
+
+# ---------------------------------------------------------------------------
+# real bin-packing — MaxRects BestShortSideFit, parity with the reference's
+# free-tex-packer run.
+#
+# The committed atlas metadata (/root/reference/assets/textures/packed/
+# diffuse.json, meta: free-tex-packer-core 0.3.4, 2580x2580) is the output of
+# packAsync({width: 3048, height: 3048, extrude: 2}) over the 14 diffuse
+# tiles (building_textures.ts:234-254). free-tex-packer's default packer is
+# Jylanki's MaxRectsBin with BestShortSideFit; re-implementing that heuristic
+# (canonical SplitFreeNode push order: top, bottom, left, right; first free
+# rect wins ties) over the 14 tiles in sorted-path order reproduces every
+# committed frame position exactly — pinned by tests/test_tileset.py.
+# ---------------------------------------------------------------------------
+
+
+def maxrects_pack(
+    items: list[tuple[str, int, int]],
+    bin_w: int = 3048,
+    bin_h: int = 3048,
+    extrude: int = 2,
+) -> tuple[dict[str, tuple[int, int, int, int]], int, int]:
+    """MaxRects-BSSF packing of (name, w, h) items (placed in list order).
+
+    Each item occupies (w + 2*extrude, h + 2*extrude) in the bin; the returned
+    frame excludes the extrusion border: name -> (x, y, w, h) with x, y =
+    content origin (bin origin + extrude), matching free-tex-packer's JSON.
+    Also returns the used extent (atlas_w, atlas_h) — free-tex-packer shrinks
+    the output image to it (2580 for the reference set).
+    """
+    free: list[tuple[int, int, int, int]] = [(0, 0, bin_w, bin_h)]
+    frames: dict[str, tuple[int, int, int, int]] = {}
+    used_w = used_h = 0
+
+    for name, w, h in items:
+        rw, rh = w + 2 * extrude, h + 2 * extrude
+        best = None
+        best_short = best_long = None
+        for fx, fy, fw, fh in free:
+            if fw < rw or fh < rh:
+                continue
+            short = min(fw - rw, fh - rh)
+            long_ = max(fw - rw, fh - rh)
+            if best is None or short < best_short or (
+                short == best_short and long_ < best_long
+            ):
+                best, best_short, best_long = (fx, fy), short, long_
+        if best is None:
+            raise ValueError(f"maxrects_pack: {name} ({rw}x{rh}) does not fit")
+        ux, uy = best
+        used = (ux, uy, rw, rh)
+
+        # split every overlapping free rect (Jylanki SplitFreeNode order:
+        # top, bottom, left, right), then prune contained rects
+        nxt: list[tuple[int, int, int, int]] = []
+        for fx, fy, fw, fh in free:
+            if ux >= fx + fw or ux + rw <= fx or uy >= fy + fh or uy + rh <= fy:
+                nxt.append((fx, fy, fw, fh))
+                continue
+            if uy > fy:
+                nxt.append((fx, fy, fw, uy - fy))
+            if uy + rh < fy + fh:
+                nxt.append((fx, uy + rh, fw, fy + fh - (uy + rh)))
+            if ux > fx:
+                nxt.append((fx, fy, ux - fx, fh))
+            if ux + rw < fx + fw:
+                nxt.append((ux + rw, fy, fx + fw - (ux + rw), fh))
+        pruned: list[tuple[int, int, int, int]] = []
+        for i, a in enumerate(nxt):
+            contained = any(
+                j != i
+                and b[0] <= a[0]
+                and b[1] <= a[1]
+                and b[0] + b[2] >= a[0] + a[2]
+                and b[1] + b[3] >= a[1] + a[3]
+                and not (j > i and a == b)  # keep the first of exact dupes
+                for j, b in enumerate(nxt)
+            )
+            if not contained:
+                pruned.append(a)
+        free = pruned
+
+        frames[name] = (ux + extrude, uy + extrude, w, h)
+        used_w = max(used_w, ux + rw)
+        used_h = max(used_h, uy + rh)
+    return frames, used_w, used_h
+
+
+# the 14 diffuse source tiles (building_textures.ts buildingTextures[i*4],
+# i = 0..13), in the packer's sorted-path order
+DIFFUSE_TILE_PATHS = [
+    "assets/textures/buildings/facades/block_wall_diffuse.png",
+    "assets/textures/buildings/facades/brick_wall_diffuse.png",
+    "assets/textures/buildings/facades/glass_diffuse.png",
+    "assets/textures/buildings/facades/plastered_wall_02_diff_1k.jpg",
+    "assets/textures/buildings/facades/wood_wall_diffuse.png",
+    "assets/textures/buildings/roofs/Plastic018A_1K-JPG_Color.jpg",
+    "assets/textures/buildings/roofs/concrete_diffuse.png",
+    "assets/textures/buildings/roofs/eternit_diffuse.png",
+    "assets/textures/buildings/roofs/glass_diffuse.png",
+    "assets/textures/buildings/roofs/grass_diffuse.png",
+    "assets/textures/buildings/roofs/metal_diffuse.png",
+    "assets/textures/buildings/roofs/tar_diffuse.png",
+    "assets/textures/buildings/roofs/thatch_diffuse.png",
+    "assets/textures/buildings/roofs/tiles_diffuse.png",
+]
+
+# texture id -> packed source path (buildingTextures index i*4 holds id i's
+# diffuse; building_textures.ts:100-208)
+TEXTURE_ID_TO_PATH = {
+    0: "assets/textures/buildings/roofs/Plastic018A_1K-JPG_Color.jpg",
+    1: "assets/textures/buildings/roofs/tiles_diffuse.png",
+    2: "assets/textures/buildings/roofs/metal_diffuse.png",
+    3: "assets/textures/buildings/roofs/concrete_diffuse.png",
+    4: "assets/textures/buildings/roofs/thatch_diffuse.png",
+    5: "assets/textures/buildings/roofs/eternit_diffuse.png",
+    6: "assets/textures/buildings/roofs/grass_diffuse.png",
+    7: "assets/textures/buildings/roofs/glass_diffuse.png",
+    8: "assets/textures/buildings/roofs/tar_diffuse.png",
+    9: "assets/textures/buildings/facades/glass_diffuse.png",
+    10: "assets/textures/buildings/facades/brick_wall_diffuse.png",
+    11: "assets/textures/buildings/facades/plastered_wall_02_diff_1k.jpg",
+    12: "assets/textures/buildings/facades/wood_wall_diffuse.png",
+    13: "assets/textures/buildings/facades/block_wall_diffuse.png",
+}
+
+
+def pack_building_textures(tile_size: int = 512):
+    """Run the real packer over the building texture set; returns
+    ({path: (x, y, w, h)}, atlas_w, atlas_h). Output frame positions equal
+    the reference's committed diffuse.json (pinned in tests)."""
+    items = [(p, tile_size, tile_size) for p in DIFFUSE_TILE_PATHS]
+    return maxrects_pack(items)
+
+
+def read_png(path: str):
+    """Minimal RGBA8 PNG reader (inverse of write_png; supports filters 0-4,
+    non-interlaced, bit depth 8, color type 6)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = b""
+    w = h = None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or ctype != 6:
+                raise ValueError(f"read_png: only RGBA8 supported, got {depth}/{ctype}")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 4
+    img = np.empty((h, w, 4), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        line = np.frombuffer(raw[off + 1 : off + 1 + stride], dtype=np.uint8).astype(np.int32)
+        off += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub (1), Average (3), Paeth (4): sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - 4] if x >= 4 else 0
+                b = prev[x]
+                c = prev[x - 4] if x >= 4 else 0
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        img[y] = cur.astype(np.uint8).reshape(w, 4)
+        prev = cur
+    return img
+
+
+def build_packed_atlas(src_dir: str, out_png: str | None = None, tile_size: int = 512):
+    """The reference's packImages() over the repo's checked-in deterministic
+    source tiles: read each source PNG from `src_dir` (flat layout,
+    path basename), nearest-neighbor upscale to tile_size (the multimodal
+    resize kernel's algorithm), MaxRects-pack, composite with 2px edge
+    extrusion (free-tex-packer `extrude: 2`), and return
+    (atlas_rgba, frames). Writes the atlas PNG when out_png is given."""
+    import os
+
+    import numpy as np
+
+    frames, aw, ah = pack_building_textures(tile_size)
+    img = np.zeros((ah, aw, 4), dtype=np.uint8)
+    for path, (x, y, w, h) in frames.items():
+        # flat checked-in layout: last two path segments joined with "__"
+        # (facades/ and roofs/ both ship a glass_diffuse.png)
+        base = "__".join(path.split("/")[-2:])
+        src_png = os.path.join(src_dir, base + ("" if base.endswith(".png") else ".png"))
+        src = read_png(src_png)
+        sy, sx = src.shape[:2]
+        # nearest-neighbor upscale (operators/multimodal.py resize kernel)
+        iy = (np.arange(h) * sy) // h
+        ix = (np.arange(w) * sx) // w
+        tile = src[iy][:, ix]
+        img[y : y + h, x : x + w] = tile
+        # 2px edge extrusion: replicate border pixels into the padding ring
+        img[y - 2 : y, x : x + w] = tile[0]
+        img[y + h : y + h + 2, x : x + w] = tile[-1]
+        img[y : y + h, x - 2 : x] = tile[:, :1]
+        img[y : y + h, x + w : x + w + 2] = tile[:, -1:]
+        img[y - 2 : y, x - 2 : x] = tile[0, 0]
+        img[y - 2 : y, x + w : x + w + 2] = tile[0, -1]
+        img[y + h : y + h + 2, x - 2 : x] = tile[-1, 0]
+        img[y + h : y + h + 2, x + w : x + w + 2] = tile[-1, -1]
+    if out_png:
+        write_png(out_png, img)
+    return img, frames

@@ -133,8 +133,14 @@ def spatial_join(
     needed = list(dict.fromkeys(list(page_cols) + list(building_cols) + ["x", "y", "osm_id"]))
 
     if refine == "auto":
-        n_buildings = buildings.select("osm_id").count()
-        refine = "broadcast" if n_buildings <= BROADCAST_GEOM_MAX_BUILDINGS else "cogroup"
+        # decision probe bounded by the threshold itself: limit(k+1).count()
+        # short-circuits once k+1 rows are found instead of scanning (and
+        # fully aggregating) the whole dimension — a full count() here was a
+        # wasted job per call on planet-sized building tables
+        probe_n = (
+            buildings.select("osm_id").limit(BROADCAST_GEOM_MAX_BUILDINGS + 1).count()
+        )
+        refine = "broadcast" if probe_n <= BROADCAST_GEOM_MAX_BUILDINGS else "cogroup"
 
     if refine == "cogroup":
         schema = T.StructType(out_fields)

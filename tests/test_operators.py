@@ -1614,3 +1614,81 @@ class TestRound4AdviceFixes:
         assert set(s["value_sum"]) <= {12, 7, 5}
         sess = sessionize(df, value_col="amount").toPandas()
         assert sess["value_sum"].sum() == 12
+
+
+class TestAnnTwoPhaseTopkPlans:
+    """Round-4 plan pins: no reducer may materialize a whole probe set — a
+    per-partition mapInPandas top-k MUST pre-aggregate ahead of every global
+    per-query window, and the IVF-PQ rerank join must broadcast the shortlist
+    (never sort-merge the full corpus)."""
+
+    def _emb(self, spark, n=200, d=8):
+        rows = [(i, [float((i * 7 + j * 13) % 19 - 9) for j in range(d)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _q(self, spark, d=8):
+        rows = [(i, [float((i * 5 + j * 3) % 17 - 8) for j in range(d)]) for i in range(3)]
+        return spark.createDataFrame(rows, "query_id long, query_vec array<double>")
+
+    def test_bruteforce_prunes_before_window(self, spark):
+        from osm_data_3d_tiles_spark.operators.similarity import ann_bruteforce_topk
+
+        df = ann_bruteforce_topk(self._emb(spark), self._q(spark), k=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan  # the local top-k stage
+        assert "Window" in plan
+        # executedPlan prints root-first: the window must sit ABOVE the
+        # pre-aggregation (i.e. consume its output), not directly on the scan
+        assert plan.index("Window") < plan.index("MapInPandas")
+
+    def test_ivf_prunes_before_window(self, spark):
+        from osm_data_3d_tiles_spark.operators.similarity import ann_ivf_topk
+
+        df = ann_ivf_topk(self._emb(spark), self._q(spark), k=5, n_list=4, n_probe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        windows = [l for l in plan.splitlines() if "Window" in l and "rank" in l]
+        assert windows, plan
+        assert plan.count("MapInPandas") >= 2  # assign stage + local top-k stage
+        assert plan.index("Window") < plan.rindex("MapInPandas")
+
+    def test_pq_rerank_broadcasts_shortlist(self, spark):
+        from osm_data_3d_tiles_spark.operators.similarity import ann_ivf_pq_topk
+
+        df = ann_ivf_pq_topk(
+            self._emb(spark), self._q(spark), k=3,
+            n_list=4, n_probe=2, m_sub=4, n_codes=8, refine=2,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_two_phase_equals_single_window(self, spark):
+        """Semantics pin: the pre-aggregation never changes the result."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from osm_data_3d_tiles_spark.operators.similarity import (
+            _cosine_col,
+            _unit_col,
+            ann_bruteforce_topk,
+        )
+
+        emb, q = self._emb(spark), self._q(spark)
+        got = ann_bruteforce_topk(emb, q, k=7).toPandas()
+        base = emb.select("vec_id", _unit_col(F.col("embedding")).alias("unit"))
+        qs = q.select("query_id", _unit_col(F.col("query_vec")).alias("q_unit"))
+        scored = base.crossJoin(qs).withColumn(
+            "cosine", _cosine_col(F.col("unit"), F.col("q_unit"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+        want = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 7)
+            .select("query_id", "rank", "vec_id", "cosine")
+            .toPandas()
+        )
+        key = ["query_id", "rank"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        assert got[["query_id", "rank", "vec_id"]].equals(want[["query_id", "rank", "vec_id"]])
+        assert (got["cosine"] - want["cosine"]).abs().max() < 1e-12
