@@ -76,8 +76,18 @@ def pack_glb(
     batch_id: np.ndarray,
     weld: bool = True,
     compress=None,
+    quantize: bool = False,
 ) -> bytes:
     """Triangle mesh → glTF 2.0 binary (one buffer; indexed when welded).
+
+    `quantize=True` emits a self-contained KHR_mesh_quantization GLB (the
+    documented in-sandbox alternative to the reference's Draco stage,
+    /root/reference/src/b3dmGenerator.ts:182-195): POSITION as uint16 on a
+    65535-step grid over the mesh bbox (node scale+translation restores
+    world space — the same "scene" quantization volume Draco uses), NORMAL
+    as normalized int8. No codec library needed, standard glTF extension,
+    ~2.4x smaller vertex payload; decode-reencode round-trip pinned in
+    tests/test_b3dm_sink.py.
 
     weld=True deduplicates vertices shared by adjacent triangles (flat-roof
     fans, wall strips share almost every vertex) into an indexed mesh —
@@ -99,13 +109,15 @@ def pack_glb(
     tex = np.asarray(uv, dtype=np.float32).reshape(-1, 2)
     bid = np.asarray(batch_id, dtype=np.float32).reshape(-1)
     indices: np.ndarray | None = None
-    if (weld or compress is not None) and len(pos):
+    if (weld or compress is not None or quantize) and len(pos):
         # draco needs the indexed mesh — always weld before compressing
         pos, nrm, tex, bid, indices = weld_vertices(pos, nrm, tex, bid)
     n = len(pos)
 
     if compress is not None and indices is not None:
         return _pack_glb_draco(pos, nrm, tex, bid, indices, compress)
+    if quantize and indices is not None:
+        return _pack_glb_quantized(pos, nrm, tex, bid, indices)
 
     views = []
     accessors = []
@@ -183,6 +195,159 @@ def pack_glb(
     out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
     out += struct.pack("<II", len(bin_bytes), BIN_CHUNK) + bin_bytes
     return out
+
+
+def _pack_glb_quantized(
+    pos: np.ndarray,
+    nrm: np.ndarray,
+    tex: np.ndarray,
+    bid: np.ndarray,
+    indices: np.ndarray,
+) -> bytes:
+    """KHR_mesh_quantization GLB: POSITION uint16 grid + node TRS dequant,
+    NORMAL normalized int8; TEXCOORD_0/_BATCHID stay float (wall UVs tile
+    past [0,1], which normalized quantization cannot represent).
+
+    Alignment per glTF 2.0: vertex bufferViews carry byteStride as a
+    multiple of 4, so VEC3<u16> packs at stride 8 (2 pad bytes) and
+    VEC3<i8> at stride 4 (1 pad byte)."""
+    n = len(pos)
+    bbox_min = pos.min(axis=0) if n else np.zeros(3, np.float32)
+    bbox_max = pos.max(axis=0) if n else np.zeros(3, np.float32)
+    extent = (bbox_max - bbox_min).astype(np.float64)
+    scale = np.where(extent > 0, extent / 65535.0, 1.0)
+    pos_q = np.clip(
+        np.round((pos.astype(np.float64) - bbox_min) / scale), 0, 65535
+    ).astype(np.uint16)
+    nrm_q = np.clip(np.round(nrm.astype(np.float64) * 127.0), -127, 127).astype(np.int8)
+
+    views = []
+    accessors = []
+    bin_parts: list[bytes] = []
+    offset = 0
+
+    def add_view(raw: bytes, stride: int | None = None):
+        nonlocal offset
+        raw = _pad(raw, 4, b"\x00")
+        view = {"buffer": 0, "byteOffset": offset, "byteLength": len(raw)}
+        if stride is not None:
+            view["byteStride"] = stride
+        views.append(view)
+        bin_parts.append(raw)
+        offset += len(raw)
+        return len(views) - 1
+
+    # POSITION: (x, y, z, pad) uint16 rows -> stride 8
+    pos_rows = np.zeros((n, 4), dtype=np.uint16)
+    pos_rows[:, :3] = pos_q
+    v = add_view(pos_rows.tobytes(), stride=8)
+    accessors.append({
+        "bufferView": v, "componentType": 5123, "count": n, "type": "VEC3",
+        "min": [int(x) for x in (pos_q.min(axis=0) if n else [0, 0, 0])],
+        "max": [int(x) for x in (pos_q.max(axis=0) if n else [0, 0, 0])],
+    })
+    # NORMAL: (x, y, z, pad) int8 rows -> stride 4, normalized
+    nrm_rows = np.zeros((n, 4), dtype=np.int8)
+    nrm_rows[:, :3] = nrm_q
+    v = add_view(nrm_rows.tobytes(), stride=4)
+    accessors.append({
+        "bufferView": v, "componentType": 5120, "count": n, "type": "VEC3",
+        "normalized": True,
+    })
+    v = add_view(tex.astype(np.float32).tobytes(), stride=8)
+    accessors.append({"bufferView": v, "componentType": 5126, "count": n, "type": "VEC2"})
+    v = add_view(bid.astype(np.float32).tobytes(), stride=4)
+    accessors.append({"bufferView": v, "componentType": 5126, "count": n, "type": "SCALAR"})
+    v = add_view(indices.astype(np.uint32).tobytes())
+    accessors.append({
+        "bufferView": v, "componentType": 5125, "count": int(len(indices)),
+        "type": "SCALAR",
+    })
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "osm-data-3d-tiles-spark"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{
+            "mesh": 0,
+            "translation": [float(x) for x in bbox_min],
+            "scale": [float(s) for s in scale],
+        }],
+        "meshes": [{
+            "primitives": [{
+                "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2, "_BATCHID": 3},
+                "mode": 4,
+                "indices": 4,
+            }]
+        }],
+        "buffers": [{"byteLength": offset}],
+        "bufferViews": views,
+        "accessors": accessors,
+        "extensionsUsed": ["KHR_mesh_quantization"],
+        "extensionsRequired": ["KHR_mesh_quantization"],
+    }
+    json_bytes = _pad(json.dumps(gltf, separators=(",", ":")).encode(), 4, b" ")
+    bin_bytes = _pad(b"".join(bin_parts), 4, b"\x00")
+    total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
+    if total % 8:
+        extra = 8 - total % 8
+        json_bytes += b" " * extra
+        total += extra
+    out = struct.pack("<III", GLB_MAGIC, 2, total)
+    out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
+    out += struct.pack("<II", len(bin_bytes), BIN_CHUNK) + bin_bytes
+    return out
+
+
+def unpack_glb(glb: bytes) -> dict:
+    """Parse a GLB from this sink back to numpy arrays (uncompressed or
+    KHR_mesh_quantization; the decode half of the round-trip pin). Returns
+    {position (float32 world-space), normal (float32 unit-ish), uv, batch_id,
+    indices, quantized: bool}."""
+    magic, _ver, _total = struct.unpack("<III", glb[:12])
+    assert magic == GLB_MAGIC, "not a GLB"
+    jlen, jtype = struct.unpack("<II", glb[12:20])
+    assert jtype == JSON_CHUNK
+    gltf = json.loads(glb[20 : 20 + jlen])
+    blen, btype = struct.unpack("<II", glb[20 + jlen : 28 + jlen])
+    assert btype == BIN_CHUNK
+    binv = glb[28 + jlen : 28 + jlen + blen]
+
+    def read_acc(idx: int) -> np.ndarray:
+        acc = gltf["accessors"][idx]
+        view = gltf["bufferViews"][acc["bufferView"]]
+        comp = {5120: np.int8, 5123: np.uint16, 5125: np.uint32, 5126: np.float32}[
+            acc["componentType"]
+        ]
+        n_comp = {"SCALAR": 1, "VEC2": 2, "VEC3": 3}[acc["type"]]
+        start = view["byteOffset"]
+        raw = np.frombuffer(binv[start : start + view["byteLength"]], dtype=comp)
+        stride = view.get("byteStride")
+        if stride is not None:
+            per_row = stride // np.dtype(comp).itemsize
+            raw = raw.reshape(-1, per_row)[: acc["count"], :n_comp]
+        else:
+            raw = raw[: acc["count"] * n_comp].reshape(acc["count"], n_comp)
+        return raw
+
+    prim = gltf["meshes"][0]["primitives"][0]
+    attrs = prim["attributes"]
+    quantized = "KHR_mesh_quantization" in gltf.get("extensionsUsed", [])
+    pos = read_acc(attrs["POSITION"]).astype(np.float64)
+    node = gltf["nodes"][0]
+    if quantized:
+        pos = pos * np.asarray(node["scale"]) + np.asarray(node["translation"])
+    nrm = read_acc(attrs["NORMAL"]).astype(np.float64)
+    if gltf["accessors"][attrs["NORMAL"]].get("normalized"):
+        nrm = nrm / 127.0
+    return {
+        "position": pos.astype(np.float32),
+        "normal": nrm.astype(np.float32),
+        "uv": read_acc(attrs["TEXCOORD_0"]).astype(np.float32),
+        "batch_id": read_acc(attrs["_BATCHID"]).reshape(-1).astype(np.float32),
+        "indices": read_acc(prim["indices"]).reshape(-1) if "indices" in prim else None,
+        "quantized": quantized,
+    }
 
 
 def _pack_glb_draco(
@@ -302,12 +467,16 @@ def _json_safe(v):
     return v
 
 
-def b3dm_for_tile(geo_row: dict, batch_row: dict | None, compress=None) -> bytes:
+def b3dm_for_tile(
+    geo_row: dict, batch_row: dict | None, compress=None, quantize: bool = False
+) -> bytes:
     """One build_tiles_3d output row (+ its batch_tables row) → b3dm bytes.
 
     featureTable = {BATCH_LENGTH}; batchTable = the pivoted per-building columns
     (b3dmGenerator.ts:242-247 shape). `compress` is the optional Draco codec
-    seam, forwarded to pack_glb (None → byte-identical uncompressed tiles)."""
+    seam, forwarded to pack_glb (None → byte-identical uncompressed tiles);
+    `quantize` emits KHR_mesh_quantization tiles (the in-sandbox compressed
+    artifact — see pack_glb)."""
     feature_table = {"BATCH_LENGTH": int(geo_row["batch_length"])}
     batch_table = {}
     if batch_row:
@@ -321,7 +490,7 @@ def b3dm_for_tile(geo_row: dict, batch_row: dict | None, compress=None) -> bytes
     glb = pack_glb(
         np.asarray(geo_row["position"]), np.asarray(geo_row["normal"]),
         np.asarray(geo_row["uv"]), np.asarray(geo_row["batch_id"]),
-        compress=compress,
+        compress=compress, quantize=quantize,
     )
     return pack_b3dm(glb, feature_table, batch_table)
 
