@@ -339,13 +339,17 @@ def pack_building_textures(tile_size: int = 512):
 def read_png(path: str):
     """Minimal RGBA8 PNG reader (inverse of write_png; supports filters 0-4,
     non-interlaced, bit depth 8, color type 6)."""
+    with open(path, "rb") as f:
+        return decode_png(f.read())
+
+
+def decode_png(data: bytes):
+    """RGBA8 PNG bytes → (h, w, 4) uint8 (see read_png)."""
     import struct
     import zlib
 
     import numpy as np
 
-    with open(path, "rb") as f:
-        data = f.read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
     pos = 8
     idat = b""

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns with typed
 metadata, processed by Arrow-batched `mapInPandas` stages.
 
-The decode step itself is STUBBED (no image/audio libraries in this environment):
-`decode_image_stub` produces a deterministic fake feature vector from the bytes, and
-`decode_image_real` raises NotImplementedError with the intended contract. The
-Spark-side plumbing — schema, partition sizing, UDF signatures, Arrow batch shape —
-is real and tested; swapping in a real decoder is a one-function change.
+Decode status (no imaging libraries in this environment):
+- PNG payloads decode FOR REAL — `decode_image_real` runs the repo's
+  pure-numpy PNG reader (zlib inflate + scanline unfilter, functions/atlas.py),
+  and the resize stage dispatches on the PNG magic (`decode_pixels`).
+- Other formats (JPEG/WebP/audio/video codecs) remain stubbed:
+  `decode_image_stub`/`decode_pixels_stub` produce deterministic fake
+  pixels/features so the Spark-side plumbing — schema, partition sizing, UDF
+  signatures, Arrow batch shape — stays real and tested; wiring a codec
+  library in is a one-function change.
 """
 
 from __future__ import annotations
@@ -50,12 +54,25 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image_real(payload: bytes, meta: dict) -> np.ndarray:
-    """Real decode contract: payload → HxWx3 uint8 array. STUB — the container has
-    no imaging libraries; wire Pillow/libvips here on a real cluster."""
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
+    """Real decode: payload → HxWx3 uint8 array.
+
+    PNG (RGBA8, filters 0-4) decodes for real via the repo's pure-numpy
+    reader (functions/atlas.py::decode_png — zlib + unfilter, no imaging
+    library), alpha dropped. Other formats (JPEG/WebP/…) still raise — a
+    from-scratch DCT decoder is out of scope for this sandbox; wire
+    Pillow/libvips here on a real cluster."""
+    data = bytes(payload)
+    if data[:8] == PNG_MAGIC:
+        from ..functions.atlas import decode_png
+
+        return decode_png(data)[..., :3]
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this sandbox; "
-        "use decode_image_stub for plumbing tests"
+        "only PNG decodes in-sandbox (pure-numpy reader); other formats need "
+        "an imaging library — use decode_image_stub for plumbing tests"
     )
 
 
@@ -120,6 +137,35 @@ def make_media_fixture(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_png_media_fixture(spark, n: int = 16) -> DataFrame:
+    """Media table whose image payloads are REAL PNG bitstreams (deterministic
+    gradient patterns, encoded by the repo's own PNG writer) — exercises the
+    real in-sandbox decode path end to end."""
+    import struct
+    import zlib
+
+    from ..functions.atlas import _png_chunk
+
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 5) * 4, 6 + (i % 4) * 4
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.empty((h, w, 4), dtype=np.uint8)
+        img[..., 0] = (xx * 7 + i * 13) % 256
+        img[..., 1] = (yy * 11 + i * 5) % 256
+        img[..., 2] = ((xx + yy) * 3 + i) % 256
+        img[..., 3] = 255
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b"")
+        )
+        rows.append((i, "image", bytearray(png), (w, h, "image/png", None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -140,6 +186,15 @@ def decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     return raw.reshape(height, width, 3).copy()
 
 
+def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Codec dispatch: PNG payloads decode for REAL (ignoring the declared
+    metadata dims in favor of the bitstream's); everything else falls back to
+    the deterministic stub so non-PNG plumbing tests keep working."""
+    if bytes(payload[:8]) == PNG_MAGIC:
+        return decode_image_real(payload)
+    return decode_pixels_stub(payload, width, height)
+
+
 def resize_nearest(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     """REAL nearest-neighbor resample — pure numpy index math, no imaging
     library involved: output pixel (y, x) reads source pixel
@@ -151,8 +206,9 @@ def resize_nearest(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
 
 
 def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Image resize as one Arrow stage: decode (stub codec) → nearest-neighbor
-    resample (real kernel) → re-serialized payload with updated dimensions.
+    """Image resize as one Arrow stage: decode (REAL for PNG payloads, stub
+    codec otherwise — see decode_pixels) → nearest-neighbor resample (real
+    kernel) → re-serialized payload with updated dimensions.
 
     The 100 TB shape is what this pins: payloads stay opaque binary through
     the scan, only image rows reach the stage (`kind` filter pushed to the
@@ -169,7 +225,7 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 continue
             out = [
                 resize_nearest(
-                    decode_pixels_stub(p, int(w), int(h)), target_w, target_h
+                    decode_pixels(p, int(w), int(h)), target_w, target_h
                 ).tobytes()
                 for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
             ]
