@@ -47,7 +47,10 @@ from ..operators.dedup import exact_dedup
 # them makes CORRECTNESS_r03 ∪ CORRECTNESS_r04 cover every registered query.
 DRIVER_WINDOW_PRIORITY = [
     # round-4 additions first (never driver-checked anywhere)
-    # -- appended as they are added --
+    "event_spike_hours",
+    "doc_length_mad",
+    "png_decode_stats",
+    "quantized_tile_stats",
     # the 46 round-3-unchecked queries, in their round-3 relative order
     "quality_stopword_ratio",
     "lang_id",
@@ -1692,6 +1695,116 @@ def build_relational_queries() -> dict:
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        """,
+    )
+
+    def spike_q(spark, sf_dir):
+        """Round-4: anomaly detection on event-count series — hourly counts
+        per event_type, spike = count exceeds 2x the mean of the previous 3
+        OBSERVED hourly buckets (ROWS frame, so gaps don't imply zeros; same
+        in both engines). Pure integer test (3*n > 2*prev3_sum) — no float
+        mean, hash-stable cross-engine. At 100 TB this is one keyed
+        aggregation plus a per-key window over hour-grain rows (tiny)."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type",
+            F.expr(
+                "cast(floor(cast(cast(ts as timestamp) as long) / 3600) as bigint)"
+            ).alias("hour_bucket"),
+        )
+        hourly = ev.groupBy("event_type", "hour_bucket").agg(
+            F.count("*").alias("n")
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("hour_bucket")
+            .rowsBetween(-3, -1)
+        )
+        return hourly.select(
+            "event_type",
+            "hour_bucket",
+            "n",
+            F.coalesce(F.sum("n").over(w), F.lit(-1)).alias("prev3_sum"),
+            F.coalesce(F.count("n").over(w), F.lit(0)).alias("prev3_cnt"),
+        ).withColumn(
+            "is_spike",
+            (F.col("prev3_cnt") == 3) & (3 * F.col("n") > 2 * F.col("prev3_sum")),
+        )
+
+    q["event_spike_hours"] = (
+        spike_q,
+        """
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600) AS BIGINT)
+                       AS hour_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type, hour_bucket, n,
+               CAST(COALESCE(SUM(n) OVER w, -1) AS BIGINT) AS prev3_sum,
+               CAST(COALESCE(COUNT(n) OVER w, 0) AS BIGINT) AS prev3_cnt,
+               (COUNT(n) OVER w = 3 AND 3 * n > 2 * COALESCE(SUM(n) OVER w, -1))
+                   AS is_spike
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        """,
+    )
+
+    def mad_q(spark, sf_dir):
+        """Round-4: robust per-language length stats — lower median and
+        median absolute deviation of n_chars. Both medians are defined
+        EXPLICITLY as the value at row_number (cnt+1) div 2 under a value
+        sort (no engine median() — interpolation differs cross-engine);
+        everything is integer arithmetic, so the value-hash gate holds."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang", "n_chars")
+
+        def lower_median(df, col):
+            w = Window.partitionBy("lang").orderBy(col)
+            cnt = Window.partitionBy("lang")
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .withColumn("cnt", F.count("*").over(cnt))
+                .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+                .select("lang", F.col(col).alias("med"))
+            )
+
+        med = lower_median(docs, "n_chars")
+        dev = docs.join(med, "lang").select(
+            "lang", F.abs(F.col("n_chars") - F.col("med")).alias("adev"), "med"
+        )
+        mad = (
+            lower_median(dev.select("lang", "adev"), "adev")
+            .withColumnRenamed("med", "mad")
+        )
+        return med.join(mad, "lang").select("lang", "med", "mad")
+
+    q["doc_length_mad"] = (
+        mad_q,
+        """
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS cnt
+            FROM documents
+        ),
+        med AS (
+            SELECT lang, CAST(n_chars AS BIGINT) AS med FROM ranked
+            WHERE rn = (cnt + 1) // 2
+        ),
+        devs AS (
+            SELECT d.lang, ABS(d.n_chars - m.med) AS adev
+            FROM documents d JOIN med m USING (lang)
+        ),
+        dranked AS (
+            SELECT lang, adev,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY adev) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS cnt
+            FROM devs
+        )
+        SELECT m.lang, m.med, CAST(dr.adev AS BIGINT) AS mad
+        FROM med m JOIN dranked dr ON m.lang = dr.lang AND dr.rn = (dr.cnt + 1) // 2
         """,
     )
 
@@ -3389,6 +3502,89 @@ def build_rows_only_queries() -> dict:
 
     q["building_labels"] = labels
 
+    def png_decode_stats(spark, sf_dir):
+        """Round-4: REAL PNG decode in the driver gate — the png media fixture
+        (real bitstreams) through decode_image_real, per-image integer channel
+        sums. Pinned golden: the decode is deterministic bit math (zlib +
+        unfilter), so any decoder regression breaks the value hash."""
+        import pandas as _pd
+
+        from ..operators.multimodal import decode_image_real, make_png_media_fixture
+
+        media = make_png_media_fixture(spark, 16)
+
+        def _stats(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows = {"media_id": [], "width": [], "height": [],
+                        "r_sum": [], "g_sum": [], "b_sum": []}
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    img = decode_image_real(bytes(payload))
+                    rows["media_id"].append(int(mid))
+                    rows["height"].append(int(img.shape[0]))
+                    rows["width"].append(int(img.shape[1]))
+                    s = img.astype("int64").sum(axis=(0, 1))
+                    rows["r_sum"].append(int(s[0]))
+                    rows["g_sum"].append(int(s[1]))
+                    rows["b_sum"].append(int(s[2]))
+                yield _pd.DataFrame(rows)
+
+        return media.select("media_id", "payload").mapInPandas(
+            _stats,
+            schema="media_id long, width int, height int, r_sum long, g_sum long, b_sum long",
+        )
+
+    q["png_decode_stats"] = png_decode_stats
+
+    def quantized_tile_stats(spark, sf_dir):
+        """Round-4: the KHR_mesh_quantization sink end-to-end in the driver
+        gate — build the 3D tiles, pack each as a quantized GLB, report
+        (tile_key, batch_length, glb_bytes, glb_md5). The GLB bytes are fully
+        deterministic (struct packing, no zlib), so the md5 golden pins the
+        whole quantize path: weld -> uint16 grid -> int8 normals -> GLB
+        layout. Distributed: the pack runs where the tile rows sit."""
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        from ..functions.params import with_building_params
+        from ..operators.build3d import build_tiles_3d
+        from ..operators.cells import building_cells
+        from ..operators.ownership import owner_tiles
+        from ..sinks.b3dm import pack_glb
+
+        sf = min(_sf_of(sf_dir), 0.01)
+        blds = fx.load_fixture(spark, "buildings", sf).filter(F.col("layer") == "buildings")
+        owners = owner_tiles(building_cells(blds)).select("osm_id", "tile_key")
+        assigned = with_building_params(blds).join(owners, "osm_id")
+        tiles = build_tiles_3d(assigned)
+
+        def _pack(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = {"tile_key": [], "batch_length": [], "glb_bytes": [], "glb_md5": []}
+                for _, r in pdf.iterrows():
+                    glb = pack_glb(
+                        _np.asarray(r["position"]), _np.asarray(r["normal"]),
+                        _np.asarray(r["uv"]), _np.asarray(r["batch_id"]),
+                        quantize=True,
+                    )
+                    out["tile_key"].append(r["tile_key"])
+                    out["batch_length"].append(int(r["batch_length"]))
+                    out["glb_bytes"].append(len(glb))
+                    out["glb_md5"].append(_hashlib.md5(glb).hexdigest())
+                yield _pd.DataFrame(out)
+
+        return tiles.mapInPandas(
+            _pack,
+            schema="tile_key string, batch_length long, glb_bytes long, glb_md5 string",
+        )
+
+    q["quantized_tile_stats"] = quantized_tile_stats
+
     def doc_fingerprint(spark, sf_dir):
         """Rolling-hash document fingerprint (min of windowed polynomial hashes
         — the winnowing family): one Arrow stage, no shuffle; the fingerprint
@@ -3443,6 +3639,8 @@ GOLDEN_DIR = os.path.join(
 # The golden pins determinism + regressions; semantic correctness rides pytest
 # (planted-pair dedup tests, IVF recall gates, MVT round-trip, component oracles).
 GOLDEN_ORACLE_QUERIES = [
+    "png_decode_stats",
+    "quantized_tile_stats",
     "flagship_pages_pipeline",
     "dedup_minhash_lsh",
     "dedup_simhash",
