@@ -141,8 +141,10 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def write_png(path: str, rgba) -> None:
-    """HxWx4 uint8 array → valid RGBA PNG (bit depth 8, filter 0 scanlines)."""
+def encode_png(rgba) -> bytes:
+    """HxWx4 uint8 array → valid RGBA PNG bytes (bit depth 8, filter 0
+    scanlines) — the single PNG container writer (write_png and the media
+    fixtures both ride this, so the bitstream layout lives in one place)."""
     import struct
     import zlib
 
@@ -152,14 +154,18 @@ def write_png(path: str, rgba) -> None:
     h, w = arr.shape[:2]
     raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(raw, 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, rgba) -> None:
+    """HxWx4 uint8 array → RGBA PNG file (see encode_png)."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgba))
 
 
 def _frame_pattern(texture_id: int, h: int, w: int):
@@ -360,8 +366,13 @@ def decode_png(data: bytes):
         body = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            interlace = body[12]
             if depth != 8 or ctype != 6:
                 raise ValueError(f"read_png: only RGBA8 supported, got {depth}/{ctype}")
+            if interlace != 0:
+                # Adam7 IDAT is 7 per-pass sub-images; the linear row loop
+                # below would silently decode garbage — refuse instead
+                raise ValueError("read_png: interlaced (Adam7) PNGs unsupported")
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -378,23 +389,40 @@ def decode_png(data: bytes):
         off += 1 + stride
         if ftype == 0:
             cur = line
-        elif ftype == 2:  # Up
+        elif ftype == 2:  # Up — fully vectorized
             cur = (line + prev) & 0xFF
-        else:  # Sub (1), Average (3), Paeth (4): sequential in x
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - 4] if x >= 4 else 0
-                b = prev[x]
-                c = prev[x - 4] if x >= 4 else 0
-                if ftype == 1:
-                    cur[x] = (line[x] + a) & 0xFF
-                elif ftype == 3:
-                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
-                else:
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = (line[x] + pred) & 0xFF
+        elif ftype == 1:  # Sub — cumulative sum per byte lane (mod 256)
+            lanes = line.reshape(w, 4)
+            cur = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF).reshape(stride)
+        elif ftype in (3, 4):  # Average / Paeth: left-dependency -> loop over
+            # PIXELS (w iterations, all 4 channels vectorized per step) — not
+            # over bytes; a per-byte Python loop was ~4x slower and real-world
+            # encoders emit these filters on nearly every row
+            lanes = line.reshape(w, 4)
+            prev_l = prev.reshape(w, 4)
+            cur_l = np.zeros((w, 4), dtype=np.int32)
+            left = np.zeros(4, dtype=np.int32)
+            if ftype == 3:
+                for x in range(w):
+                    left = (lanes[x] + (left + prev_l[x]) // 2) & 0xFF
+                    cur_l[x] = left
+            else:
+                up_left = np.zeros(4, dtype=np.int32)
+                for x in range(w):
+                    b_ = prev_l[x]
+                    p = left + b_ - up_left
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - b_)
+                    pc = np.abs(p - up_left)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b_, up_left)
+                    )
+                    left = (lanes[x] + pred) & 0xFF
+                    cur_l[x] = left
+                    up_left = b_
+            cur = cur_l.reshape(stride)
+        else:
+            raise ValueError(f"read_png: invalid scanline filter type {ftype}")
         img[y] = cur.astype(np.uint8).reshape(w, 4)
         prev = cur
     return img

@@ -167,13 +167,24 @@ def _faces_for(params: dict):
     """Outer + inner rings → per-edge skeleton faces, matching the reference's
     getStraightSkeletonInput (tile3d-multipolygon.ts:275-290: outer first,
     then every inner ring). A failed skeleton returns None → the dispatch's
-    flat fallback (reference buildRoofSafe semantics)."""
+    flat fallback (reference buildRoofSafe semantics).
+
+    Only inner rings actually CONTAINED in outers[0] ride along: on a
+    multi-outer multipolygon a hole belonging to another outer would hand the
+    skeleton a disjoint wavefront that can never merge — burning the full
+    rotation+jitter retry ladder before the inevitable None."""
+    from .geometry import points_in_ring
+
     rings, ring_types = params["rings"], params["ring_types"]
     outers = [np.asarray(r, dtype=np.float64) for r, t in zip(rings, ring_types) if t == "outer"]
     inners = [np.asarray(r, dtype=np.float64) for r, t in zip(rings, ring_types) if t == "inner"]
     if not outers:
         return None
-    return straight_skeleton(outers[0], holes=inners)
+    holes = [
+        h for h in inners
+        if len(h) and bool(points_in_ring(h[:1], outers[0])[0])
+    ]
+    return straight_skeleton(outers[0], holes=holes)
 
 
 def _max_skeleton_height(faces) -> float:

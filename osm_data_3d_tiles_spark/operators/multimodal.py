@@ -141,10 +141,7 @@ def make_png_media_fixture(spark, n: int = 16) -> DataFrame:
     """Media table whose image payloads are REAL PNG bitstreams (deterministic
     gradient patterns, encoded by the repo's own PNG writer) — exercises the
     real in-sandbox decode path end to end."""
-    import struct
-    import zlib
-
-    from ..functions.atlas import _png_chunk
+    from ..functions.atlas import encode_png
 
     rows = []
     for i in range(n):
@@ -155,14 +152,7 @@ def make_png_media_fixture(spark, n: int = 16) -> DataFrame:
         img[..., 1] = (yy * 11 + i * 5) % 256
         img[..., 2] = ((xx + yy) * 3 + i) % 256
         img[..., 3] = 255
-        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-        png = (
-            b"\x89PNG\r\n\x1a\n"
-            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
-            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
-            + _png_chunk(b"IEND", b"")
-        )
-        rows.append((i, "image", bytearray(png), (w, h, "image/png", None)))
+        rows.append((i, "image", bytearray(encode_png(img)), (w, h, "image/png", None)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -26,7 +26,14 @@ from .dedup import _register_persist
 def _unit_col(vec: F.Column) -> F.Column:
     dot = F.aggregate(F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
     norm = F.sqrt(dot)
-    return F.transform(vec, lambda x: x / norm)
+    # an all-zero vector normalizes to NaN components EXPLICITLY: with ANSI on
+    # (Spark 4 default) a bare x/0.0 aborts the job; with ANSI off it returned
+    # NaN implicitly. The explicit branch makes both modes identical; the ANN
+    # paths then EXCLUDE NaN cosines before ranking (see _local_topk note).
+    return F.transform(
+        vec,
+        lambda x: F.when(norm != F.lit(0.0), x / norm).otherwise(F.lit(float("nan"))),
+    )
 
 
 def _cosine_col(a: F.Column, b: F.Column) -> F.Column:
@@ -49,6 +56,12 @@ def _local_topk(
     top-k of whichever partition holds it under the same order; ties break by
     ascending id exactly as the final window does. Memory is bounded by
     k × (queries seen in the partition).
+
+    Input contract: scores are NaN-free. The callers filter NaN cosines
+    (all-zero vectors) JVM-side BEFORE this stage — NaN cannot round-trip
+    through Arrow (pandas NaN → NULL on the way back), so Spark's NaN-first
+    DESC order and the pandas sort could never agree; excluding undefined
+    cosines is the only ordering that is identical at every partition layout.
     """
     schema = scored.schema
 
@@ -97,8 +110,10 @@ def ann_bruteforce_topk(
         F.col(query_id_col), _unit_col(F.col(query_vec_col).cast("array<double>")).alias("q_unit")
     )
     cand = base.crossJoin(F.broadcast(q))
-    scored = cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit"))).select(
-        query_id_col, id_col, "cosine"
+    scored = (
+        cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
+        .select(query_id_col, id_col, "cosine")
+        .filter(~F.isnan("cosine"))  # zero vectors have no defined cosine (see _topk note)
     )
     # two-phase top-k: per-partition pre-aggregation, then the tiny global window
     pruned = _local_topk(scored, query_id_col, id_col, "cosine", k)
@@ -217,8 +232,10 @@ def ann_ivf_topk(
     )
 
     cand = assigned.join(probes, "list_id")
-    scored = cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit"))).select(
-        query_id_col, id_col, "cosine"
+    scored = (
+        cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
+        .select(query_id_col, id_col, "cosine")
+        .filter(~F.isnan("cosine"))  # zero vectors excluded (see _topk note)
     )
     # two-phase top-k: the probe set never funnels into one reducer per query
     pruned = _local_topk(scored, query_id_col, id_col, "cosine", k)
@@ -415,6 +432,7 @@ def ann_ivf_pq_topk(
         .join(F.broadcast(qdf), query_id_col)
         .withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
         .select(query_id_col, id_col, "cosine")
+        .filter(~F.isnan("cosine"))  # zero vectors excluded (see _topk note)
     )
     # rerank input is ≤ refine·k rows per query, so the window input is tiny
     return _global_topk(rerank, query_id_col, id_col, "cosine", k)

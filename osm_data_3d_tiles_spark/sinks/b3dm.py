@@ -116,7 +116,11 @@ def pack_glb(
 
     if compress is not None and indices is not None:
         return _pack_glb_draco(pos, nrm, tex, bid, indices, compress)
-    if quantize and indices is not None:
+    if quantize:
+        # an empty mesh still emits a QUANTIZED (extension-bearing) GLB so
+        # callers branching on KHR_mesh_quantization see a consistent format
+        if indices is None:
+            indices = np.empty(0, dtype=np.uint32)
         return _pack_glb_quantized(pos, nrm, tex, bid, indices)
 
     views = []

@@ -1752,3 +1752,103 @@ class TestRealPngDecode:
         b = decode_pixels_stub(bytes(r.payload), r.meta.width, r.meta.height)
         import numpy as np
         assert np.array_equal(a, b)
+
+
+class TestRound4ReviewFixes:
+    """Regression pins for the round-4 self-review findings."""
+
+    def test_ann_zero_vector_excluded_at_any_layout(self, spark):
+        """An all-zero embedding has no defined cosine (NaN unit vector).
+        NaN cannot round-trip through Arrow (pandas NaN -> NULL), so the only
+        partition-layout-independent semantics is EXCLUSION: the row never
+        appears in the top-k, at any parallelism, and the job does not abort
+        under ANSI mode (explicit when-guard in _unit_col)."""
+        from osm_data_3d_tiles_spark.operators.similarity import ann_bruteforce_topk
+
+        rows = [(0, [0.0] * 8)] + [
+            (i, [float((i * 7 + j) % 11 - 5) for j in range(8)]) for i in range(1, 40)
+        ]
+        q = spark.createDataFrame(
+            [(1, [1.0] + [0.0] * 7)], "query_id long, query_vec array<double>"
+        )
+        results = []
+        for parts in (1, 7):
+            emb = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).repartition(parts)
+            got = ann_bruteforce_topk(emb, q, k=3).orderBy("rank").toPandas()
+            assert 0 not in set(got["vec_id"]), f"zero vector leaked at {parts} parts"
+            assert len(got) == 3
+            results.append(list(got["vec_id"]))
+        assert results[0] == results[1]  # layout-independent
+
+    def test_png_interlaced_refused(self, tmp_path):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from osm_data_3d_tiles_spark.functions.atlas import _png_chunk, decode_png
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 1)  # interlace=1
+        raw = zlib.compress(b"\x00" + b"\x01" * 8)
+        png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", raw) + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_png(png)
+
+    def test_png_invalid_filter_refused(self):
+        import struct
+        import zlib
+
+        from osm_data_3d_tiles_spark.functions.atlas import _png_chunk, decode_png
+
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+        raw = zlib.compress(b"\x07" + b"\x01" * 4)  # filter type 7
+        png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", raw) + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="invalid scanline filter"):
+            decode_png(png)
+
+    def test_quantized_glb_empty_mesh_keeps_extension(self):
+        import json as _json
+        import struct
+
+        import numpy as np
+
+        from osm_data_3d_tiles_spark.sinks.b3dm import pack_glb, unpack_glb
+
+        glb = pack_glb(
+            np.empty(0, np.float32), np.empty(0, np.float32),
+            np.empty(0, np.float32), np.empty(0, np.float32), quantize=True,
+        )
+        jlen = struct.unpack("<II", glb[12:20])[0]
+        gltf = _json.loads(glb[20 : 20 + jlen])
+        assert gltf["extensionsRequired"] == ["KHR_mesh_quantization"]
+        out = unpack_glb(glb)
+        assert out["quantized"] and len(out["position"]) == 0
+
+    def test_faces_for_drops_foreign_holes(self):
+        """Multi-outer multipolygon: a hole inside the SECOND outer must not
+        poison the first outer's skeleton (it previously burned the whole
+        retry ladder before flat-falling-back)."""
+        import numpy as np
+
+        from osm_data_3d_tiles_spark.functions.skeleton_roofs import _faces_for
+
+        outer1 = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+        outer2 = np.array([[30, 0], [40, 0], [40, 10], [30, 10]], float)
+        far_hole = np.array([[33, 3], [33, 7], [37, 7], [37, 3]], float)
+        faces = _faces_for({
+            "rings": [outer1, outer2, far_hole],
+            "ring_types": ["outer", "outer", "inner"],
+        })
+        # outer1 skeletons cleanly with the foreign hole filtered out
+        assert faces is not None and len(faces) == 4
+        # a contained hole still rides along
+        near_hole = np.array([[4, 4], [4, 6], [6, 6], [6, 4]], float)
+        faces2 = _faces_for({
+            "rings": [outer1, near_hole],
+            "ring_types": ["outer", "inner"],
+        })
+        assert faces2 is not None and len(faces2) == 8
