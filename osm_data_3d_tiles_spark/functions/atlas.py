@@ -365,6 +365,8 @@ def decode_png(data: bytes):
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
+            if len(body) < 13:
+                raise ValueError(f"read_png: truncated IHDR ({len(body)} bytes)")
             w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
             interlace = body[12]
             if depth != 8 or ctype != 6:

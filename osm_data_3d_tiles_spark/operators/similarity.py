@@ -36,6 +36,19 @@ def _unit_col(vec: F.Column) -> F.Column:
     )
 
 
+def _drop_nan_units(df: DataFrame, col: str) -> DataFrame:
+    """Exclude rows whose unit vector contains NaN (all-zero input vectors).
+
+    This must happen at the SOURCE, not just at cosine-scoring time: a NaN
+    unit inside the driver-side training sample poisons k-means centroids and
+    PQ codebooks (numpy argmax/argmin return the NaN index, Lloyd means go
+    NaN, every vector then lands in one list / one codeword), and a NaN query
+    unit makes every ADC score NaN. Exclusion at the source keeps the sample,
+    the assignment stages, the codes, and the score columns NaN-free — the
+    `_local_topk` input contract."""
+    return df.filter(~F.exists(col, lambda x: F.isnan(x)))
+
+
 def _cosine_col(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -102,12 +115,20 @@ def ann_bruteforce_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, rank, vec_id, cosine). Ties by vec_id."""
-    base = embeddings.select(
-        F.col(id_col), _unit_col(F.col(vec_col).cast("array<double>")).alias("unit")
+    """Exact cosine top-k: (query_id, rank, vec_id, cosine). Ties by vec_id.
+    Zero vectors (base or query) are excluded — no defined cosine."""
+    base = _drop_nan_units(
+        embeddings.select(
+            F.col(id_col), _unit_col(F.col(vec_col).cast("array<double>")).alias("unit")
+        ),
+        "unit",
     )
-    q = queries.select(
-        F.col(query_id_col), _unit_col(F.col(query_vec_col).cast("array<double>")).alias("q_unit")
+    q = _drop_nan_units(
+        queries.select(
+            F.col(query_id_col),
+            _unit_col(F.col(query_vec_col).cast("array<double>")).alias("q_unit"),
+        ),
+        "q_unit",
     )
     cand = base.crossJoin(F.broadcast(q))
     scored = (
@@ -198,9 +219,9 @@ def ann_ivf_topk(
     (raise n_list, keep n_probe ≪ n_list) at equal recall.
     """
     spark = embeddings.sparkSession
-    base = _register_persist(embeddings.select(
+    base = _register_persist(_drop_nan_units(embeddings.select(
         F.col(id_col), _unit_col(F.col(vec_col).cast("array<double>")).alias("unit")
-    ).persist())
+    ), "unit").persist())
 
     # deterministic, representative sample: TakeOrdered over a stable hash of
     # the id (no full shuffle) — unlike bare limit(), independent of partition
@@ -215,8 +236,12 @@ def ann_ivf_topk(
     # against the broadcast centroid matrix (see _assign_lists)
     assigned = _assign_lists(base, cents, id_col)
 
-    q = queries.select(
-        F.col(query_id_col), _unit_col(F.col(query_vec_col).cast("array<double>")).alias("q_unit")
+    q = _drop_nan_units(
+        queries.select(
+            F.col(query_id_col),
+            _unit_col(F.col(query_vec_col).cast("array<double>")).alias("q_unit"),
+        ),
+        "q_unit",
     )
     probes = (
         q.crossJoin(F.broadcast(cent_df))
@@ -356,9 +381,9 @@ def ann_ivf_pq_topk(
     n_probe (10 → 0.87), not refine, to buy absolute recall. Gates in
     tests/test_operators.py."""
     spark = embeddings.sparkSession
-    base = _register_persist(embeddings.select(
+    base = _register_persist(_drop_nan_units(embeddings.select(
         F.col(id_col), _unit_col(F.col(vec_col).cast("array<double>")).alias("unit")
-    ).persist())
+    ), "unit").persist())
 
     sample = base.orderBy(F.xxhash64(F.col(id_col).cast("string"))).limit(4096).toPandas()
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["unit"]])
@@ -368,8 +393,13 @@ def ann_ivf_pq_topk(
     codes = _assign_and_encode_pq(base, cents, books, id_col)
 
     # tiny query set -> collect, unit-normalize, build per-query ADC tables
-    qpdf = queries.select(
-        F.col(query_id_col), _unit_col(F.col(query_vec_col).cast("array<double>")).alias("q_unit")
+    # (NaN q_units excluded: a NaN LUT would make every ADC score NaN)
+    qpdf = _drop_nan_units(
+        queries.select(
+            F.col(query_id_col),
+            _unit_col(F.col(query_vec_col).cast("array<double>")).alias("q_unit"),
+        ),
+        "q_unit",
     ).toPandas()
     qmat = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["q_unit"]])
     d = books.shape[2]

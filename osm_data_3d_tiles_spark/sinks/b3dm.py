@@ -114,13 +114,15 @@ def pack_glb(
         pos, nrm, tex, bid, indices = weld_vertices(pos, nrm, tex, bid)
     n = len(pos)
 
+    if n == 0:
+        # glTF 2.0 forbids count-0 accessors / zero-length bufferViews and
+        # buffers, so an empty mesh emits a MESHLESS (but valid) GLB — one
+        # empty node, no accessors; the quantization extension is still
+        # declared so format-branching callers stay consistent
+        return _pack_glb_meshless(quantized=quantize)
     if compress is not None and indices is not None:
         return _pack_glb_draco(pos, nrm, tex, bid, indices, compress)
     if quantize:
-        # an empty mesh still emits a QUANTIZED (extension-bearing) GLB so
-        # callers branching on KHR_mesh_quantization see a consistent format
-        if indices is None:
-            indices = np.empty(0, dtype=np.uint32)
         return _pack_glb_quantized(pos, nrm, tex, bid, indices)
 
     views = []
@@ -198,6 +200,29 @@ def pack_glb(
     out = struct.pack("<III", GLB_MAGIC, 2, total)
     out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
     out += struct.pack("<II", len(bin_bytes), BIN_CHUNK) + bin_bytes
+    return out
+
+
+def _pack_glb_meshless(quantized: bool) -> bytes:
+    """Spec-valid GLB for an EMPTY mesh: asset + one meshless node, no
+    accessors/bufferViews/buffers (glTF forbids zero-length ones)."""
+    gltf = {
+        "asset": {"version": "2.0", "generator": "osm-data-3d-tiles-spark"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{}],
+    }
+    if quantized:
+        gltf["extensionsUsed"] = ["KHR_mesh_quantization"]
+        gltf["extensionsRequired"] = ["KHR_mesh_quantization"]
+    json_bytes = _pad(json.dumps(gltf, separators=(",", ":")).encode(), 4, b" ")
+    total = 12 + 8 + len(json_bytes)
+    if total % 8:
+        extra = 8 - total % 8
+        json_bytes += b" " * extra
+        total += extra
+    out = struct.pack("<III", GLB_MAGIC, 2, total)
+    out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
     return out
 
 
@@ -313,6 +338,17 @@ def unpack_glb(glb: bytes) -> dict:
     jlen, jtype = struct.unpack("<II", glb[12:20])
     assert jtype == JSON_CHUNK
     gltf = json.loads(glb[20 : 20 + jlen])
+    quantized = "KHR_mesh_quantization" in gltf.get("extensionsUsed", [])
+    if not gltf.get("meshes"):
+        # meshless empty-tile GLB (no BIN chunk)
+        empty3 = np.empty((0, 3), dtype=np.float32)
+        return {
+            "position": empty3, "normal": empty3,
+            "uv": np.empty((0, 2), dtype=np.float32),
+            "batch_id": np.empty(0, dtype=np.float32),
+            "indices": np.empty(0, dtype=np.uint32),
+            "quantized": quantized,
+        }
     blen, btype = struct.unpack("<II", glb[20 + jlen : 28 + jlen])
     assert btype == BIN_CHUNK
     binv = glb[28 + jlen : 28 + jlen + blen]
@@ -336,7 +372,6 @@ def unpack_glb(glb: bytes) -> dict:
 
     prim = gltf["meshes"][0]["primitives"][0]
     attrs = prim["attributes"]
-    quantized = "KHR_mesh_quantization" in gltf.get("extensionsUsed", [])
     pos = read_acc(attrs["POSITION"]).astype(np.float64)
     node = gltf["nodes"][0]
     if quantized:

@@ -1782,7 +1782,7 @@ class TestRound4ReviewFixes:
             results.append(list(got["vec_id"]))
         assert results[0] == results[1]  # layout-independent
 
-    def test_png_interlaced_refused(self, tmp_path):
+    def test_png_interlaced_refused(self):
         import struct
         import zlib
 
