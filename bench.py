@@ -151,13 +151,21 @@ def run_flagship(
     return secs, n_docs, n_rows
 
 
-def run_streaming_tile_counts(spark, sf_dir: str, n_batches: int = 8) -> dict:
+def run_streaming_tile_counts(
+    spark, sf_dir: str, n_batches: int = 8, replicate: int = 20
+) -> dict:
     """Micro-batch throughput of the flagship geo kernel under Structured
     Streaming (streaming/events.py::streaming_tile_counts): the sf's document
     points + deterministic timestamps land in `n_batches` parquet files, a
     file stream replays them one file per trigger into the watermarked
     tumbling per-tile rollup, and the measured window is end-to-end
     processAllAvailable (ingest -> tile assign -> stateful agg -> memory sink).
+
+    `replicate` expands the points k-fold in-Spark (distinct doc ids, same
+    deterministic derivation — the scaling runs' trick) so each trigger
+    carries thousands of rows: without it the ~1 s/trigger micro-batch fixed
+    cost IS the measurement (620 docs/s at sf0.1) and kernel regressions
+    hide inside scheduler noise.
     """
     import shutil
     import tempfile
@@ -167,7 +175,13 @@ def run_streaming_tile_counts(spark, sf_dir: str, n_batches: int = 8) -> dict:
     from osm_data_3d_tiles_spark.plans.contract import doc_points
     from osm_data_3d_tiles_spark.streaming.events import streaming_tile_counts
 
-    pts = doc_points(spark, sf_dir).select(
+    pts = doc_points(spark, sf_dir)
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        pts = pts.crossJoin(reps).withColumn(
+            "doc_id", F.col("doc_id") * replicate + F.col("_rep")
+        ).drop("_rep")
+    pts = pts.select(
         F.expr(
             "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, doc_id % 3600)"
         ).alias("ts"),
@@ -177,6 +191,15 @@ def run_streaming_tile_counts(spark, sf_dir: str, n_batches: int = 8) -> dict:
     n_docs = pts.count()
     root = tempfile.mkdtemp(prefix="bench_stream_")
     src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+    # State partitions sized to the STATE, not the batch cores: each shuffle
+    # partition is one HDFS-backed state store that snapshots+commits EVERY
+    # trigger, so 32 stores over a few thousand windowxtile keys is pure
+    # fixed cost — measured 8.4x at sf0.1 (75.7 s -> 9.0 s for the same 100k
+    # docs) going 32 -> 8. The batch queries keep the session's setting; a
+    # production job sizes this by state volume (it is frozen into the
+    # checkpoint at first start).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         pts.repartition(n_batches).write.mode("overwrite").parquet(src)
         stream = (
@@ -213,6 +236,7 @@ def run_streaming_tile_counts(spark, sf_dir: str, n_batches: int = 8) -> dict:
             "rows_emitted": int(n_out),
         }
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(root, ignore_errors=True)
 
 
