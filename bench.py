@@ -172,21 +172,26 @@ def run_streaming_tile_counts(
 
     from pyspark.sql import functions as F
 
-    from osm_data_3d_tiles_spark.plans.contract import doc_points
     from osm_data_3d_tiles_spark.streaming.events import streaming_tile_counts
 
-    pts = doc_points(spark, sf_dir)
+    from osm_data_3d_tiles_spark.plans.contract import point_x_expr, point_y_expr
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     if replicate > 1:
         reps = spark.range(replicate).select(F.col("id").alias("_rep"))
-        pts = pts.crossJoin(reps).withColumn(
-            "doc_id", F.col("doc_id") * replicate + F.col("_rep")
-        ).drop("_rep")
-    pts = pts.select(
+        ids = ids.crossJoin(reps).select(
+            (F.col("doc_id") * replicate + F.col("_rep")).alias("doc_id")
+        )
+    # x/y derive from the REWRITTEN ids (same deterministic point formula the
+    # contract uses), so every replica is a distinct point and the tile-key
+    # cardinality scales with the input instead of stacking 20 coincident
+    # copies of each original point
+    pts = ids.select(
         F.expr(
             "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, doc_id % 3600)"
         ).alias("ts"),
-        "x",
-        "y",
+        point_x_expr("doc_id").alias("x"),
+        point_y_expr("doc_id").alias("y"),
     )
     n_docs = pts.count()
     root = tempfile.mkdtemp(prefix="bench_stream_")

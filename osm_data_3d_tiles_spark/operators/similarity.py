@@ -70,11 +70,12 @@ def _local_topk(
     ascending id exactly as the final window does. Memory is bounded by
     k × (queries seen in the partition).
 
-    Input contract: scores are NaN-free. The callers filter NaN cosines
-    (all-zero vectors) JVM-side BEFORE this stage — NaN cannot round-trip
-    through Arrow (pandas NaN → NULL on the way back), so Spark's NaN-first
-    DESC order and the pandas sort could never agree; excluding undefined
-    cosines is the only ordering that is identical at every partition layout.
+    Input contract: scores are NaN-free — `_drop_nan_units` excludes zero
+    vectors (the only NaN source) at the base/query level in every caller.
+    NaN could not survive this stage consistently anyway: it does not
+    round-trip through Arrow (pandas NaN → NULL on the way back), so Spark's
+    NaN-first DESC order and the pandas sort could never agree; exclusion at
+    the source is the only ordering identical at every partition layout.
     """
     schema = scored.schema
 
@@ -93,6 +94,24 @@ def _local_topk(
             yield kept
 
     return scored.mapInPandas(_fn, schema=schema)
+
+
+def _empty_topk(
+    embeddings: DataFrame, queries: DataFrame,
+    id_col: str, query_id_col: str, score_col: str = "cosine",
+) -> DataFrame:
+    """Empty result with the exact output schema of _global_topk — the
+    degenerate-input path (no valid vectors / no valid queries after the
+    NaN-unit exclusion) for the eager IVF/PQ builders, matching what the
+    lazy brute-force plan produces naturally."""
+    spark = embeddings.sparkSession
+    schema = T.StructType([
+        queries.schema[query_id_col],
+        T.StructField("rank", T.IntegerType()),
+        embeddings.schema[id_col],
+        T.StructField(score_col, T.DoubleType()),
+    ])
+    return spark.createDataFrame([], schema=schema)
 
 
 def _global_topk(
@@ -134,7 +153,6 @@ def ann_bruteforce_topk(
     scored = (
         cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
         .select(query_id_col, id_col, "cosine")
-        .filter(~F.isnan("cosine"))  # zero vectors have no defined cosine (see _topk note)
     )
     # two-phase top-k: per-partition pre-aggregation, then the tiny global window
     pruned = _local_topk(scored, query_id_col, id_col, "cosine", k)
@@ -227,6 +245,8 @@ def ann_ivf_topk(
     # the id (no full shuffle) — unlike bare limit(), independent of partition
     # layout and unbiased w.r.t. insertion order
     sample = base.orderBy(F.xxhash64(F.col(id_col).cast("string"))).limit(4096).toPandas()
+    if not len(sample):  # corpus holds no valid (non-zero) vectors
+        return _empty_topk(embeddings, queries, id_col, query_id_col)
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["unit"]])
     cents = _deterministic_centroids(mat, sample[id_col].to_numpy(), n_list)
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
@@ -260,7 +280,6 @@ def ann_ivf_topk(
     scored = (
         cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
         .select(query_id_col, id_col, "cosine")
-        .filter(~F.isnan("cosine"))  # zero vectors excluded (see _topk note)
     )
     # two-phase top-k: the probe set never funnels into one reducer per query
     pruned = _local_topk(scored, query_id_col, id_col, "cosine", k)
@@ -386,6 +405,8 @@ def ann_ivf_pq_topk(
     ), "unit").persist())
 
     sample = base.orderBy(F.xxhash64(F.col(id_col).cast("string"))).limit(4096).toPandas()
+    if not len(sample):  # corpus holds no valid (non-zero) vectors
+        return _empty_topk(embeddings, queries, id_col, query_id_col)
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["unit"]])
     cents = _deterministic_centroids(mat, sample[id_col].to_numpy(), n_list)
     books = _train_pq_codebooks(mat, m_sub=m_sub, n_codes=n_codes)
@@ -401,6 +422,8 @@ def ann_ivf_pq_topk(
         ),
         "q_unit",
     ).toPandas()
+    if not len(qpdf):  # no valid (non-zero) query vectors
+        return _empty_topk(embeddings, queries, id_col, query_id_col)
     qmat = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["q_unit"]])
     d = books.shape[2]
     # luts[qi]: (m_sub, n_codes) of q_sub . codeword
@@ -462,7 +485,6 @@ def ann_ivf_pq_topk(
         .join(F.broadcast(qdf), query_id_col)
         .withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
         .select(query_id_col, id_col, "cosine")
-        .filter(~F.isnan("cosine"))  # zero vectors excluded (see _topk note)
     )
     # rerank input is ≤ refine·k rows per query, so the window input is tiny
     return _global_topk(rerank, query_id_col, id_col, "cosine", k)

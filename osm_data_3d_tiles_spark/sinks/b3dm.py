@@ -69,6 +69,28 @@ def weld_vertices(
     return pos[keep], nrm[keep], tex[keep], bid[keep], indices
 
 
+def _glb_bytes(gltf: dict, bin_bytes: bytes | None) -> bytes:
+    """Assemble the GLB container (single place for the alignment rules all
+    four emitters share): JSON chunk space-padded to 4, BIN chunk zero-padded
+    to 4, total length 8-aligned via extra JSON spaces — slack goes in the
+    JSON chunk because padding BIN past buffer.byteLength by 4+ trips strict
+    validators (BUFFER_GLB_CHUNK_TOO_BIG); inside a b3dm whose body starts
+    8-aligned this keeps the tile's total 8-aligned."""
+    json_bytes = _pad(json.dumps(gltf, separators=(",", ":")).encode(), 4, b" ")
+    if bin_bytes is not None:
+        bin_bytes = _pad(bin_bytes, 4, b"\x00")
+    total = 12 + 8 + len(json_bytes) + (8 + len(bin_bytes) if bin_bytes is not None else 0)
+    if total % 8:
+        extra = 8 - total % 8
+        json_bytes += b" " * extra
+        total += extra
+    out = struct.pack("<III", GLB_MAGIC, 2, total)
+    out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
+    if bin_bytes is not None:
+        out += struct.pack("<II", len(bin_bytes), BIN_CHUNK) + bin_bytes
+    return out
+
+
 def pack_glb(
     position: np.ndarray,
     normal: np.ndarray,
@@ -184,23 +206,7 @@ def pack_glb(
         "bufferViews": views,
         "accessors": accessors,
     }
-    json_bytes = _pad(json.dumps(gltf, separators=(",", ":")).encode(), 4, b" ")
-    bin_bytes = _pad(b"".join(bin_parts), 4, b"\x00")
-    total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
-    if total % 8:
-        # pad the GLB to an 8-byte length so that inside a b3dm whose body
-        # starts 8-aligned the tile's total stays 8-aligned. The slack goes in
-        # the JSON chunk (trailing spaces are legal at any length) — padding
-        # the BIN chunk instead would make it exceed buffer.byteLength by 4,
-        # which glTF 2.0 caps at 3 bytes and strict validators reject
-        # (BUFFER_GLB_CHUNK_TOO_BIG)
-        extra = 8 - total % 8
-        json_bytes += b" " * extra
-        total += extra
-    out = struct.pack("<III", GLB_MAGIC, 2, total)
-    out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
-    out += struct.pack("<II", len(bin_bytes), BIN_CHUNK) + bin_bytes
-    return out
+    return _glb_bytes(gltf, b"".join(bin_parts))
 
 
 def _pack_glb_meshless(quantized: bool) -> bytes:
@@ -215,15 +221,7 @@ def _pack_glb_meshless(quantized: bool) -> bytes:
     if quantized:
         gltf["extensionsUsed"] = ["KHR_mesh_quantization"]
         gltf["extensionsRequired"] = ["KHR_mesh_quantization"]
-    json_bytes = _pad(json.dumps(gltf, separators=(",", ":")).encode(), 4, b" ")
-    total = 12 + 8 + len(json_bytes)
-    if total % 8:
-        extra = 8 - total % 8
-        json_bytes += b" " * extra
-        total += extra
-    out = struct.pack("<III", GLB_MAGIC, 2, total)
-    out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
-    return out
+    return _glb_bytes(gltf, None)
 
 
 def _pack_glb_quantized(
@@ -315,17 +313,7 @@ def _pack_glb_quantized(
         "extensionsUsed": ["KHR_mesh_quantization"],
         "extensionsRequired": ["KHR_mesh_quantization"],
     }
-    json_bytes = _pad(json.dumps(gltf, separators=(",", ":")).encode(), 4, b" ")
-    bin_bytes = _pad(b"".join(bin_parts), 4, b"\x00")
-    total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
-    if total % 8:
-        extra = 8 - total % 8
-        json_bytes += b" " * extra
-        total += extra
-    out = struct.pack("<III", GLB_MAGIC, 2, total)
-    out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
-    out += struct.pack("<II", len(bin_bytes), BIN_CHUNK) + bin_bytes
-    return out
+    return _glb_bytes(gltf, b"".join(bin_parts))
 
 
 def unpack_glb(glb: bytes) -> dict:
@@ -346,7 +334,7 @@ def unpack_glb(glb: bytes) -> dict:
             "position": empty3, "normal": empty3,
             "uv": np.empty((0, 2), dtype=np.float32),
             "batch_id": np.empty(0, dtype=np.float32),
-            "indices": np.empty(0, dtype=np.uint32),
+            "indices": None,  # no mesh => no index accessor (same as non-indexed)
             "quantized": quantized,
         }
     blen, btype = struct.unpack("<II", glb[20 + jlen : 28 + jlen])
@@ -443,17 +431,7 @@ def _pack_glb_draco(
         "extensionsUsed": ["KHR_draco_mesh_compression"],
         "extensionsRequired": ["KHR_draco_mesh_compression"],
     }
-    json_bytes = _pad(json.dumps(gltf, separators=(",", ":")).encode(), 4, b" ")
-    bin_bytes = blob
-    total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
-    if total % 8:
-        extra = 8 - total % 8
-        json_bytes += b" " * extra
-        total += extra
-    out = struct.pack("<III", GLB_MAGIC, 2, total)
-    out += struct.pack("<II", len(json_bytes), JSON_CHUNK) + json_bytes
-    out += struct.pack("<II", len(bin_bytes), BIN_CHUNK) + bin_bytes
-    return out
+    return _glb_bytes(gltf, blob)
 
 
 def _pad_from(data: bytes, start: int, boundary: int, pad_byte: bytes) -> bytes:

@@ -1827,6 +1827,7 @@ class TestRound4ReviewFixes:
         assert gltf["extensionsRequired"] == ["KHR_mesh_quantization"]
         out = unpack_glb(glb)
         assert out["quantized"] and len(out["position"]) == 0
+        assert out["indices"] is None  # no mesh => no index accessor
 
     def test_faces_for_drops_foreign_holes(self):
         """Multi-outer multipolygon: a hole inside the SECOND outer must not
