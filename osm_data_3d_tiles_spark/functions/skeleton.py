@@ -492,19 +492,37 @@ def _straight_skeleton_once(ring: np.ndarray, max_iter: int = 10000, holes=None)
             # a DIFFERENT loop (reflex outer vertex reaching a hole's
             # wavefront, or vice versa) merges the two loops — the relink
             # below is loop-count-agnostic, so both cases share one code path.
-            # Deterministic scan order (sorted uids) keeps runs reproducible.
-            x = None
-            for uid in sorted(alive):
-                w = registry.get(uid)
-                if w is None or not w.valid or w.edge_next != ei:
-                    continue
-                # b_pt must lie within the cone of w and w.next bisectors
+            # Same-loop candidates are preferred (round-4 ADVICE): when several
+            # loops carry copies of original edge ei after earlier merges, the
+            # split geometry was derived against v's own wavefront, so a
+            # cross-loop copy that passes the cone test only by coincidence
+            # must not win. Deterministic uid order remains the tiebreak
+            # within each group, keeping runs reproducible.
+            def _cone_pass(w):
+                if not w.valid or w.edge_next != ei:
+                    return False
                 wn = w.next
                 d_w = _cross(w.bisector, (b_pt[0] - w.point[0], b_pt[1] - w.point[1]))
                 d_wn = _cross(wn.bisector, (b_pt[0] - wn.point[0], b_pt[1] - wn.point[1]))
-                if d_w <= 1e-7 and d_wn >= -1e-7:
-                    x = w
+                return d_w <= 1e-7 and d_wn >= -1e-7
+
+            same_loop = set()
+            w = v
+            walk = 0
+            while walk <= n_edges * 2 + 4:
+                same_loop.add(w.uid)
+                w = w.next
+                walk += 1
+                if w is v:
                     break
+
+            x = None
+            for uid in sorted(alive & same_loop) + sorted(alive - same_loop):
+                w = registry.get(uid)
+                if w is None or not _cone_pass(w):
+                    continue
+                x = w
+                break
             if x is None:
                 continue
             y = x.next

@@ -172,7 +172,10 @@ def _faces_for(params: dict):
     Only inner rings actually CONTAINED in outers[0] ride along: on a
     multi-outer multipolygon a hole belonging to another outer would hand the
     skeleton a disjoint wavefront that can never merge — burning the full
-    rotation+jitter retry ladder before the inevitable None."""
+    rotation+jitter retry ladder before the inevitable None. Containment is a
+    majority vote over the hole's vertices (round-4 ADVICE): deciding on the
+    first vertex alone misclassifies a dirty inner ring whose first vertex
+    sits on or just outside the outer boundary."""
     from .geometry import points_in_ring
 
     rings, ring_types = params["rings"], params["ring_types"]
@@ -180,10 +183,14 @@ def _faces_for(params: dict):
     inners = [np.asarray(r, dtype=np.float64) for r, t in zip(rings, ring_types) if t == "inner"]
     if not outers:
         return None
-    holes = [
-        h for h in inners
-        if len(h) and bool(points_in_ring(h[:1], outers[0])[0])
-    ]
+    holes = []
+    for h in inners:
+        if not len(h):
+            continue
+        ring = h[:-1] if len(h) > 1 and (h[0] == h[-1]).all() else h
+        votes = points_in_ring(ring, outers[0])
+        if 2 * int(np.asarray(votes).sum()) >= len(ring):
+            holes.append(h)
     return straight_skeleton(outers[0], holes=holes)
 
 

@@ -179,9 +179,18 @@ def decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     """Codec dispatch: PNG payloads decode for REAL (ignoring the declared
     metadata dims in favor of the bitstream's); everything else falls back to
-    the deterministic stub so non-PNG plumbing tests keep working."""
+    the deterministic stub so non-PNG plumbing tests keep working.
+
+    An unsupported PNG variant (interlaced, non-RGBA8 color type, 16-bit,
+    corrupt deflate stream) also degrades to the stub — one odd payload must
+    never fail the whole Arrow stage (round-4 ADVICE)."""
     if bytes(payload[:8]) == PNG_MAGIC:
-        return decode_image_real(payload)
+        import zlib
+
+        try:
+            return decode_image_real(payload)
+        except (ValueError, zlib.error, IndexError):
+            return decode_pixels_stub(payload, width, height)
     return decode_pixels_stub(payload, width, height)
 
 

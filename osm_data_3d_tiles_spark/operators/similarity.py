@@ -276,7 +276,11 @@ def ann_ivf_topk(
         .select(query_id_col, "q_unit", "list_id")
     )
 
-    cand = assigned.join(probes, "list_id")
+    # probes is |queries|×n_probe rows — tiny — but list_id has only n_list
+    # distinct values, so an AQE misestimate that picks sort-merge would
+    # shuffle the whole assigned corpus onto n_list keys (guaranteed skew).
+    # Pin broadcast, mirroring the PQ path below.
+    cand = assigned.join(F.broadcast(probes), "list_id")
     scored = (
         cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
         .select(query_id_col, id_col, "cosine")
