@@ -45,59 +45,90 @@ from ..operators.dedup import exact_dedup
 # exactly). Round 3 green-checked 50 queries; these are the 46 that have no
 # round-3 driver row (plus any round-4 additions appended below). Leading with
 # them makes CORRECTNESS_r03 ∪ CORRECTNESS_r04 cover every registered query.
+# Round-5 policy (round-4 VERDICT ask #2 + ADVICE): freshness-first — the
+# window LEADS with queries whose engine modules changed since their last
+# green driver row, so no behavior change ever merges unverified behind a
+# stale row. Tiers, in order:
+#   (a) round-5 additions (never driver-checked anywhere);
+#   (b) queries over modules edited in round 5 (their r4 rows are stale):
+#       similarity.py (ann family, embedding dedup), multimodal.py
+#       (decode/resize), skeleton{,_roofs}.py → build3d roof outputs;
+#   (c) queries over modules edited in round 4 whose last row is r3:
+#       components.py → dedup_clusters, streaming/events.py → events_*,
+#       knn.py → knn_topk/knn_hex_topk, spatial_join.py →
+#       pip_join_docs_rects, funnel_counts (r4 tagged-union rewrite);
+#   (d) backfill: remaining r3-window queries oldest-first (unchanged
+#       modules; their rows age to 2 rounds if they miss the cut — the
+#       freshness table in BASELINE.md records exactly which).
 DRIVER_WINDOW_PRIORITY = [
-    # round-4 additions first (never driver-checked anywhere)
-    "event_spike_hours",
-    "doc_length_mad",
-    "png_decode_stats",
-    "quantized_tile_stats",
-    # the 46 round-3-unchecked queries, in their round-3 relative order
-    "quality_stopword_ratio",
-    "lang_id",
-    "vocab_fingerprint",
-    "doc_length_stats",
-    "repetition_dup_bigrams",
-    "url_canonical_dedup",
-    "pii_redaction",
-    "split_by_hash",
-    "cap_per_host",
+    # (a) round-5 additions
+    # (b) round-5-changed modules
     "ann_topk",
-    "dedup_embedding_cosine",
-    "salted_cell_counts",
-    "lod_thinning",
-    "dedup_ngram_jaccard",
-    "build3d_rect_metrics",
-    "doc_length_histogram",
-    "sample_stratified",
-    "label_centroids",
-    "embedding_norms_fp",
-    "doc_length_quantiles",
-    "doc_decile_counts",
-    "doc_length_quantiles_hist",
-    "triangle_counts",
-    "top_tokens",
-    "pps_token_sample",
-    "curation_pipeline",
-    "doc_skyline",
-    "top_tokens_per_lang",
-    "geo_clusters",
-    "doc_anchor_distance_m",
-    "morton_block_counts",
-    "flagship_pages_pipeline",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
-    "lang_id_ngram",
-    "quality_features",
+    "dedup_embedding_cosine",
     "multimodal_features",
     "multimodal_resize",
-    "simplify_rings",
-    "mvt_ingest",
+    "png_decode_stats",
+    "quantized_tile_stats",
     "build3d_tiles",
+    "build3d_rect_metrics",
     "building_labels",
-    "doc_fingerprint",
-    "s2_cell_counts",
+    "flagship_pages_pipeline",
+    # (c) round-4-changed modules with r3-only rows
+    "dedup_clusters",
+    "events_tumbling_counts",
+    "events_sliding_counts",
+    "events_enriched_counts",
+    "events_sessionize",
+    "events_dedup_watermark",
+    "knn_topk",
+    "knn_hex_topk",
+    "pip_join_docs_rects",
+    "funnel_counts",
+    # (d) r3-window backfill, r3 relative order (stable scan/agg shapes that
+    # are also pytest+bench-covered sit at the tail and may age one extra
+    # round)
+    "layer_filter",
+    "tile_assign_docs",
+    "hex_cell_counts",
+    "tile_ownership",
+    "tile_pyramid_counts",
+    "batch_table_pivot",
+    "bbox_union_per_tile",
+    "overlay_zones",
+    "road_zone_length",
+    "zonal_stats_rects",
+    "interior_point_rects",
+    "height_params",
+    "join_topk_revenue",
+    "window_top_orders_per_customer",
+    "asof_rate_join",
+    "pricing_rollup",
+    "distinct_kmv_users",
+    "table_digest",
+    "snapshot_diff",
+    "interval_join_counts",
+    "tile_window_counts",
+    "cdc_apply",
+    "user_retention_days",
+    "user_scd2",
+    "events_cube",
+    "rolling_hour_stats",
+    "click_attribution",
+    "dedup_exact",
+    "pagerank_fixed",
+    "decontaminate_ngram",
+    "dedup_text_chunks",
+    "pack_sequences",
+    "tfidf_top_terms",
+    "agg_pricing_summary",
+    "revenue_by_nation",
+    "token_count",
+    "token_count_bpe",
+    "lineitem_unpivot",
+    "windows_denylist",
+    "osm_url",
 ]
 
 
