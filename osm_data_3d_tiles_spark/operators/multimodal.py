@@ -55,6 +55,7 @@ FEATURES_SCHEMA = T.StructType(
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
@@ -62,17 +63,24 @@ def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
 
     PNG (RGBA8, filters 0-4) decodes for real via the repo's pure-numpy
     reader (functions/atlas.py::decode_png — zlib + unfilter, no imaging
-    library), alpha dropped. Other formats (JPEG/WebP/…) still raise — a
-    from-scratch DCT decoder is out of scope for this sandbox; wire
+    library), alpha dropped. JPEG (baseline sequential JFIF — the dominant
+    web-crawl format) decodes for real via functions/jpeg.py::decode_jpeg
+    (from-scratch Huffman + dequant + IDCT + chroma upsample, pure numpy;
+    round-5). Remaining formats (WebP/AVIF/…) still raise — wire
     Pillow/libvips here on a real cluster."""
     data = bytes(payload)
     if data[:8] == PNG_MAGIC:
         from ..functions.atlas import decode_png
 
         return decode_png(data)[..., :3]
+    if data[:3] == JPEG_MAGIC:
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "only PNG decodes in-sandbox (pure-numpy reader); other formats need "
-        "an imaging library — use decode_image_stub for plumbing tests"
+        "only PNG and baseline JPEG decode in-sandbox (pure-numpy readers); "
+        "other formats need an imaging library — use decode_image_stub for "
+        "plumbing tests"
     )
 
 
@@ -156,6 +164,28 @@ def make_png_media_fixture(spark, n: int = 16) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_jpeg_media_fixture(spark, n: int = 16) -> DataFrame:
+    """Media table whose image payloads are REAL baseline-JFIF bitstreams
+    (deterministic gradients, encoded by the repo's own encoder —
+    functions/jpeg.py) — exercises the real JPEG decode path end to end.
+    Alternates 4:4:4 / 4:2:0 subsampling and quality levels."""
+    from ..functions.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        w, h = 12 + (i % 5) * 8, 10 + (i % 4) * 6
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        img[..., 0] = (xx * 255) // max(w - 1, 1)
+        img[..., 1] = (yy * 255) // max(h - 1, 1)
+        img[..., 2] = ((xx + yy) * 255) // max(w + h - 2, 1)
+        payload = encode_jpeg(
+            img, quality=(70, 85, 95)[i % 3], subsample=("444", "420")[i % 2]
+        )
+        rows.append((i, "image", bytearray(payload), (w, h, "image/jpeg", None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -177,14 +207,16 @@ def decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Codec dispatch: PNG payloads decode for REAL (ignoring the declared
-    metadata dims in favor of the bitstream's); everything else falls back to
-    the deterministic stub so non-PNG plumbing tests keep working.
+    """Codec dispatch: PNG and baseline-JPEG payloads decode for REAL
+    (ignoring the declared metadata dims in favor of the bitstream's);
+    everything else falls back to the deterministic stub so other-format
+    plumbing tests keep working.
 
-    An unsupported PNG variant (interlaced, non-RGBA8 color type, 16-bit,
-    corrupt deflate stream) also degrades to the stub — one odd payload must
-    never fail the whole Arrow stage (round-4 ADVICE)."""
-    if bytes(payload[:8]) == PNG_MAGIC:
+    An unsupported variant (interlaced/non-RGBA8/16-bit PNG, progressive or
+    arithmetic JPEG, corrupt stream) also degrades to the stub — one odd
+    payload must never fail the whole Arrow stage (round-4 ADVICE)."""
+    head = bytes(payload[:8])
+    if head == PNG_MAGIC or head[:3] == JPEG_MAGIC:
         import zlib
 
         try:

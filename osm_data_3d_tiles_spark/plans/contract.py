@@ -62,6 +62,7 @@ from ..operators.dedup import exact_dedup
 #       freshness table in BASELINE.md records exactly which).
 DRIVER_WINDOW_PRIORITY = [
     # (a) round-5 additions
+    "jpeg_decode_stats",
     # (b) round-5-changed modules
     "ann_topk",
     "ann_ivf_topk",
@@ -3568,6 +3569,44 @@ def build_rows_only_queries() -> dict:
 
     q["png_decode_stats"] = png_decode_stats
 
+    def jpeg_decode_stats(spark, sf_dir):
+        """Round-5: REAL baseline-JPEG decode in the driver gate — the jpeg
+        media fixture (real JFIF bitstreams from the repo's own encoder,
+        mixed 4:4:4/4:2:0 + quality levels) through decode_image_real
+        (functions/jpeg.py: from-scratch Huffman + dequant + IDCT + chroma
+        upsample), per-image integer channel sums. Pinned golden: encoder and
+        decoder are deterministic integer/float64 math, so any codec
+        regression breaks the value hash."""
+        import pandas as _pd
+
+        from ..operators.multimodal import decode_image_real, make_jpeg_media_fixture
+
+        media = make_jpeg_media_fixture(spark, 16)
+
+        def _stats(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows = {"media_id": [], "width": [], "height": [],
+                        "r_sum": [], "g_sum": [], "b_sum": []}
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    img = decode_image_real(bytes(payload))
+                    rows["media_id"].append(int(mid))
+                    rows["height"].append(int(img.shape[0]))
+                    rows["width"].append(int(img.shape[1]))
+                    s = img.astype("int64").sum(axis=(0, 1))
+                    rows["r_sum"].append(int(s[0]))
+                    rows["g_sum"].append(int(s[1]))
+                    rows["b_sum"].append(int(s[2]))
+                yield _pd.DataFrame(rows)
+
+        return media.select("media_id", "payload").mapInPandas(
+            _stats,
+            schema="media_id long, width int, height int, r_sum long, g_sum long, b_sum long",
+        )
+
+    q["jpeg_decode_stats"] = jpeg_decode_stats
+
     def quantized_tile_stats(spark, sf_dir):
         """Round-4: the KHR_mesh_quantization sink end-to-end in the driver
         gate — build the 3D tiles, pack each as a quantized GLB, report
@@ -3671,6 +3710,7 @@ GOLDEN_DIR = os.path.join(
 # (planted-pair dedup tests, IVF recall gates, MVT round-trip, component oracles).
 GOLDEN_ORACLE_QUERIES = [
     "png_decode_stats",
+    "jpeg_decode_stats",
     "quantized_tile_stats",
     "flagship_pages_pipeline",
     "dedup_minhash_lsh",
