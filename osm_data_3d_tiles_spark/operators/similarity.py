@@ -192,7 +192,9 @@ def _assign_lists(base: DataFrame, cents: np.ndarray, id_col: str) -> DataFrame:
     schema = T.StructType(
         [
             base.schema[id_col],
-            T.StructField("unit", T.ArrayType(T.DoubleType())),
+            # preserve the caller's unit storage type (float32 on the IVF
+            # scan path — see ann_ivf_topk)
+            T.StructField("unit", base.schema["unit"].dataType),
             T.StructField("list_id", T.IntegerType()),
         ]
     )
@@ -237,8 +239,13 @@ def ann_ivf_topk(
     (raise n_list, keep n_probe ≪ n_list) at equal recall.
     """
     spark = embeddings.sparkSession
+    # units are STORED float32 (round-5): normalization runs in float64 then
+    # narrows once — halves the Arrow/cache/scan bytes of every downstream
+    # stage at ~1e-7 component rounding, irrelevant to ranking; scoring
+    # upcasts back to float64
     base = _register_persist(_drop_nan_units(embeddings.select(
-        F.col(id_col), _unit_col(F.col(vec_col).cast("array<double>")).alias("unit")
+        F.col(id_col),
+        _unit_col(F.col(vec_col).cast("array<double>")).cast("array<float>").alias("unit"),
     ), "unit").persist())
 
     # deterministic, representative sample: TakeOrdered over a stable hash of
@@ -282,7 +289,10 @@ def ann_ivf_topk(
     # Pin broadcast, mirroring the PQ path below.
     cand = assigned.join(F.broadcast(probes), "list_id")
     scored = (
-        cand.withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
+        cand.withColumn(
+            "cosine",
+            _cosine_col(F.col("unit").cast("array<double>"), F.col("q_unit")),
+        )
         .select(query_id_col, id_col, "cosine")
     )
     # two-phase top-k: the probe set never funnels into one reducer per query
@@ -404,8 +414,11 @@ def ann_ivf_pq_topk(
     n_probe (10 → 0.87), not refine, to buy absolute recall. Gates in
     tests/test_operators.py."""
     spark = embeddings.sparkSession
+    # float32 unit storage, as in ann_ivf_topk — the rerank upcasts to
+    # float64 before scoring
     base = _register_persist(_drop_nan_units(embeddings.select(
-        F.col(id_col), _unit_col(F.col(vec_col).cast("array<double>")).alias("unit")
+        F.col(id_col),
+        _unit_col(F.col(vec_col).cast("array<double>")).cast("array<float>").alias("unit"),
     ), "unit").persist())
 
     sample = base.orderBy(F.xxhash64(F.col(id_col).cast("string"))).limit(4096).toPandas()
@@ -487,7 +500,10 @@ def ann_ivf_pq_topk(
     rerank = (
         base.join(F.broadcast(shortlist), id_col)
         .join(F.broadcast(qdf), query_id_col)
-        .withColumn("cosine", _cosine_col(F.col("unit"), F.col("q_unit")))
+        .withColumn(
+            "cosine",
+            _cosine_col(F.col("unit").cast("array<double>"), F.col("q_unit")),
+        )
         .select(query_id_col, id_col, "cosine")
     )
     # rerank input is ≤ refine·k rows per query, so the window input is tiny
