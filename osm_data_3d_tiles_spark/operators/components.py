@@ -43,6 +43,27 @@ from .decontaminate import _gram_hash_col
 from .dedup import _register_persist
 
 
+def _symmetric_edges(e: DataFrame) -> DataFrame:
+    """Symmetrized edge list, persisted PRE-PARTITIONED on the per-round join
+    key `d` — the cached hash layout satisfies the propagation join's required
+    distribution, so the edge table never reshuffles after round 0. Extracted
+    so tests can pin that plan property (TestIterativeEdgePlans)."""
+    return _register_persist(
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .repartition("d")
+        .persist()
+    )
+
+
+def _propagation_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label round: labels ⋈ edges on the node id + groupBy-min.
+    The join must exchange ONLY the labels side (see _symmetric_edges)."""
+    prop = sym.join(labels, sym["d"] == labels["node"]).select(
+        F.col("s").alias("node"), F.col("label")
+    )
+    return labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
@@ -75,16 +96,9 @@ def connected_components(
     # PERSIST: sym joins into every round — without the cache the whole
     # upstream pair plan (for shared_ngram_pairs: explode + self-join +
     # dropDuplicates) re-executes once per iteration (measured 49 s → 11 s
-    # warm at sf0.1 on the dedup_clusters contract query).
-    # persisted PRE-PARTITIONED on the per-round join key (d): the cached
-    # hash layout satisfies the join's required distribution, so each label
-    # round exchanges only the (small) labels side — the symmetrized edge
-    # list never reshuffles after round 0 (same trick as operators/graph.py)
-    sym = _register_persist(
-        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .repartition("d")
-        .persist()
-    )
+    # warm at sf0.1 on the dedup_clusters contract query). Pre-partitioned on
+    # the round join key — see _symmetric_edges (plan-pinned in tests).
+    sym = _symmetric_edges(e)
 
     labels = (
         sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -111,12 +125,7 @@ def connected_components(
         # union with own label, take the min. groupBy-min partial-aggregates
         # map-side, so the shuffle after the join is bounded by distinct nodes
         # per mapper, not by the edge count.
-        prop = sym.join(labels, sym["d"] == labels["node"]).select(
-            F.col("s").alias("node"), F.col("label")
-        )
-        new_labels = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
-        )
+        new_labels = _propagation_round(sym, labels)
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             # truncate lineage: each round's plan references the previous
             # round's cache, and analysis cost compounds on deep graphs.

@@ -38,6 +38,25 @@ from pyspark.sql import functions as F
 from .dedup import _register_persist
 
 
+def _rank_round(
+    ed: DataFrame, nd: DataFrame, ranks: DataFrame, contrib_expr: F.Column, base: int
+) -> DataFrame:
+    """One power-iteration round: ranks ⋈ edges on src + groupBy-sum on dst +
+    left join back onto the node universe. The edge join must exchange ONLY
+    the ranks side — ed is persisted pre-partitioned on src (plan-pinned in
+    TestIterativeEdgePlans)."""
+    inbound = (
+        ed.join(ranks, ed["src"] == ranks["node"])
+        .select(F.col("dst").alias("node"), contrib_expr.alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("c"))
+    )
+    return nd.join(inbound, "node", "left").select(
+        "node",
+        (F.lit(base) + F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("rank_fp"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
@@ -83,16 +102,7 @@ def pagerank(
 
     contrib_expr = F.expr(f"({num} * rank_fp) div ({den} * od)")
     for _ in range(n_iter):
-        inbound = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select(F.col("dst").alias("node"), contrib_expr.alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("c"))
-        )
-        new_ranks = nd.join(inbound, "node", "left").select(
-            "node",
-            (F.lit(base) + F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("rank_fp"),
-        )
+        new_ranks = _rank_round(ed, nd, ranks, contrib_expr, base)
         new_ranks = _register_persist(new_ranks.persist())
         new_ranks.count()  # materialize before dropping the parent cache
         ranks.unpersist()

@@ -119,3 +119,119 @@ class TestClusterSurvivors:
             cluster_survivors(docs, pairs).select("doc_id").toPandas()["doc_id"].tolist()
         )
         assert kept == [10, 12]
+
+
+class TestIterativeEdgePlans:
+    """Round-5 plan pins (r4 VERDICT ask #10): the iterative operators claim
+    the big table never reshuffles after round 0 — the symmetrized edge list
+    (connected_components) and the degree-annotated edge table (pagerank) are
+    persisted pre-partitioned on the per-round join key, so the round join
+    must contain ZERO Exchange nodes above the caches (the labels/ranks sides
+    come out of node-keyed aggregations with the same layout)."""
+
+    @staticmethod
+    def _subtree_names(node):
+        out, stack = [], [node]
+        while stack:
+            n = stack.pop()
+            out.append(n.nodeName())
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return out
+
+    @classmethod
+    def _find_all(cls, node, name):
+        out, stack = [], [node]
+        while stack:
+            n = stack.pop()
+            if n.nodeName() == name:
+                out.append(n)
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return out
+
+    def _pin_round_plan(self, spark, df):
+        """Assert (a) the innermost sort-merge join reads both sides from
+        cache with no Exchange in between, and (b) the WHOLE round plan
+        contains exactly one Exchange — the map-side-combined aggregation
+        shuffle; any second one means a cached table reshuffled. Child
+        traversal stops at InMemoryTableScan, so cached round-0 lineage
+        (which legitimately repartitioned) is outside the pin. AQE is
+        disabled only while PLANNING the probe plan so executedPlan is the
+        plain physical tree."""
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            ep = df._jdf.queryExecution().executedPlan()
+            all_names = self._subtree_names(ep)
+            assert all_names.count("Exchange") == 1, all_names
+            smjs = self._find_all(ep, "SortMergeJoin")
+            assert smjs, ep.toString()
+            # innermost join = no SortMergeJoin descendant
+            inner = [
+                s for s in smjs
+                if self._subtree_names(s).count("SortMergeJoin") == 1
+            ]
+            assert inner, ep.toString()
+            for s in inner:
+                names = self._subtree_names(s)
+                assert "Exchange" not in names, names
+                assert names.count("InMemoryTableScan") >= 2, names
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+    def test_cc_propagation_round_never_reshuffles_edges(self, spark):
+        from osm_data_3d_tiles_spark.operators.components import (
+            _propagation_round,
+            _symmetric_edges,
+        )
+
+        e = (
+            spark.createDataFrame([(i, (i * 3) % 50) for i in range(200)], "s long, d long")
+            .filter("s != d")
+        )
+        sym = _symmetric_edges(e)
+        sym.count()
+        labels = (
+            sym.select(F.col("s").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .persist()
+        )
+        labels.count()
+        try:
+            self._pin_round_plan(spark, _propagation_round(sym, labels))
+        finally:
+            labels.unpersist()
+            sym.unpersist()
+
+    def test_pagerank_round_never_reshuffles_edges(self, spark):
+        from osm_data_3d_tiles_spark.operators.dedup import _register_persist
+        from osm_data_3d_tiles_spark.operators.graph import _rank_round
+
+        e = spark.createDataFrame(
+            [(i, (i * 7) % 40) for i in range(200)], "src long, dst long"
+        )
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+        ed = _register_persist(e.join(deg, "src").repartition("src").persist())
+        ed.count()
+        nd = _register_persist(
+            spark.range(40).select(F.col("id").alias("node")).repartition("node").persist()
+        )
+        nd.count()
+        ranks = _register_persist(
+            nd.withColumn("rank_fp", F.lit(10**12 // 40).cast("long")).persist()
+        )
+        ranks.count()
+        try:
+            contrib = F.expr("(17 * rank_fp) div (20 * od)")
+            self._pin_round_plan(spark, _rank_round(ed, nd, ranks, contrib, 10**9))
+        finally:
+            ranks.unpersist()
+            nd.unpersist()
+            ed.unpersist()
