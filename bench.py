@@ -159,7 +159,8 @@ def run_flagship(
 
 
 def run_streaming_tile_counts(
-    spark, sf_dir: str, n_batches: int = 8, replicate: int = 20
+    spark, sf_dir: str, n_batches: int = 8, replicate: int = 20,
+    provider: str = "hdfs",
 ) -> dict:
     """Micro-batch throughput of the flagship geo kernel under Structured
     Streaming (streaming/events.py::streaming_tile_counts): the sf's document
@@ -212,6 +213,22 @@ def run_streaming_tile_counts(
     # checkpoint at first start).
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # State-store provider comparison (round-4 VERDICT ask #8): the default
+    # HDFS-backed store snapshots+commits EVERY trigger per partition — the
+    # fixed cost the 32→8 partition sizing works around; RocksDB (bundled
+    # with Spark since 3.2, changelog-checkpointing incremental commits) is
+    # the production answer once state outgrows executor heap. The provider
+    # is frozen into the checkpoint at first start; each bench call uses a
+    # fresh checkpoint dir, so switching per-call is safe.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    if provider == "rocksdb":
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    elif provider != "hdfs":
+        raise ValueError(f"provider must be 'hdfs' or 'rocksdb', got {provider!r}")
     try:
         pts.repartition(n_batches).write.mode("overwrite").parquet(src)
         stream = (
@@ -246,9 +263,15 @@ def run_streaming_tile_counts(
             "docs_per_sec": round(n_docs / secs, 2),
             "micro_batches": n_batches,
             "rows_emitted": int(n_out),
+            "state_store": provider,
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if provider == "rocksdb":
+            if old_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old_provider)
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -371,17 +394,30 @@ def main() -> None:
         # min-corroboration resampling as the batch sections
         stream_rounds = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_ROUNDS", "2")))
         stream_max_extra = int(os.environ.get("SPARK_GRAFT_STREAM_MAX_EXTRA", "2"))
-        stream_runs = [run_streaming_tile_counts(spark, SF_DIR) for _ in range(stream_rounds)]
-        extra = 0
-        while (
-            not _min_corroborated([r["secs"] for r in stream_runs], 0.15)
-            and extra < stream_max_extra
-        ):
-            stream_runs.append(run_streaming_tile_counts(spark, SF_DIR))
-            extra += 1
-        best_stream = min(stream_runs, key=lambda r: r["secs"])
-        best_stream["all_secs"] = [r["secs"] for r in stream_runs]
-        result["streaming_tile_counts"] = best_stream
+        def _stream_best(provider: str) -> dict:
+            runs = [
+                run_streaming_tile_counts(spark, SF_DIR, provider=provider)
+                for _ in range(stream_rounds)
+            ]
+            extra = 0
+            while (
+                not _min_corroborated([r["secs"] for r in runs], 0.15)
+                and extra < stream_max_extra
+            ):
+                runs.append(run_streaming_tile_counts(spark, SF_DIR, provider=provider))
+                extra += 1
+            best = min(runs, key=lambda r: r["secs"])
+            best["all_secs"] = [r["secs"] for r in runs]
+            return best
+
+        result["streaming_tile_counts"] = _stream_best("hdfs")
+        # provider A/B at the same replicated input (round-4 VERDICT ask #8)
+        try:
+            result["streaming_tile_counts_rocksdb"] = _stream_best("rocksdb")
+        except Exception as e:  # never lose the headline to a provider hiccup
+            result["streaming_tile_counts_rocksdb"] = {
+                "error": f"{type(e).__name__}: {e}"
+            }
     finally:
         spark.stop()
 

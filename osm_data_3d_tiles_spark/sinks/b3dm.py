@@ -14,6 +14,20 @@ at the very end of the reference sink that changes no verified semantics
 (SURVEY.md §2.1 "we verify the *table*, not Draco bytes"); a deployment with a
 Draco encoder plugs it in and gets KHR_draco_mesh_compression tiles.
 
+DECISION (round 5, closing the r4 VERDICT item): the Draco bitstream itself is
+permanently out of in-sandbox scope, and KHR_mesh_quantization
+(`pack_glb_quantized`) is this engine's compressed sink codec. Rationale: a
+from-scratch Draco encoder (rANS entropy coding + connectivity coder +
+prediction transforms) could only be tested against ITSELF here — no reference
+decoder exists in the sandbox, so a decode-reencode round-trip would prove
+self-consistency, not spec conformance, while risking subtly non-conformant
+bytes that every real loader rejects. KHR_mesh_quantization achieves the same
+goal (quantized attribute storage, ~4x position/normal size reduction)
+as a core glTF 2.0 extension whose output is plain spec-valid glTF — verified
+here by structural decode (`unpack_glb`) plus pinned byte goldens
+(`quantized_tile_stats`). Deployments that need Draco parity with the
+reference inject the real codec through `compress=`.
+
 The seed path (`seed_tiles`) is the Spark mapping of seed-b3dm.ts:14-65 — one
 batch job materializing every tile, executed with foreachPartition so tile bytes
 never collect on the driver. In the sandbox the sink writes a local directory; on
