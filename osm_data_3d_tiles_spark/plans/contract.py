@@ -76,6 +76,7 @@ DRIVER_WINDOW_PRIORITY = [
     "build3d_rect_metrics",
     "building_labels",
     "flagship_pages_pipeline",
+    "pagerank_fixed",
     # (c) round-4-changed modules with r3-only rows
     "dedup_clusters",
     "events_tumbling_counts",
@@ -83,6 +84,7 @@ DRIVER_WINDOW_PRIORITY = [
     "events_enriched_counts",
     "events_sessionize",
     "events_dedup_watermark",
+    "click_attribution",
     "knn_topk",
     "knn_hex_topk",
     "pip_join_docs_rects",
@@ -116,9 +118,7 @@ DRIVER_WINDOW_PRIORITY = [
     "user_scd2",
     "events_cube",
     "rolling_hour_stats",
-    "click_attribution",
     "dedup_exact",
-    "pagerank_fixed",
     "decontaminate_ngram",
     "dedup_text_chunks",
     "pack_sequences",
