@@ -337,10 +337,17 @@ def _u16(v: int) -> bytes:
     return bytes([(v >> 8) & 0xFF, v & 0xFF])
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: str = "420") -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: str = "420",
+    restart_interval: int = 0,
+) -> bytes:
     """8-bit image → baseline JFIF bytes. img: (H, W, 3) RGB or (H, W)
     grayscale, uint8. subsample: '444' or '420' (ignored for grayscale).
-    Deterministic for a given input — safe to pin by md5."""
+    restart_interval > 0 emits DRI + RSTn markers every that-many MCUs
+    (identical pixels, resynchronizable stream — and exercises the decoder's
+    restart path). Deterministic for a given input — safe to pin by md5."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg wants uint8")
@@ -394,8 +401,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: str = "420") -> b
 
     bw = _BitWriter()
     preds = [0] * len(planes)
+    mcu_index = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                # close the entropy segment on a byte boundary, emit RSTn,
+                # reset the DC predictors (T.81 E.1.4)
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
             for ci, (sh, sv) in enumerate(sampling):
                 for by in range(sv):
                     for bx in range(sh):
@@ -403,6 +419,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: str = "420") -> b
                         preds[ci] = _encode_block(
                             bw, blk, preds[ci], huff[ci][0], huff[ci][1]
                         )
+            mcu_index += 1
     bw.flush()
 
     out = bytearray()
@@ -424,6 +441,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: str = "420") -> b
         tables += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
     for tclass, bits, vals in tables:
         out += b"\xff\xc4" + _u16(3 + 16 + len(vals)) + bytes([tclass]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + _u16(4) + _u16(restart_interval)  # DRI
     # SOS
     out += b"\xff\xda" + _u16(6 + 2 * ncomp) + bytes([ncomp])
     for ci in range(ncomp):

@@ -67,6 +67,26 @@ class TestRoundTrip:
         assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
 
 
+class TestRestartMarkers:
+    def test_rst_stream_decodes_to_identical_pixels(self):
+        """DRI + RSTn framing changes entropy segmentation only — same
+        coefficients, same pixels; exercises the decoder's restart path
+        (segment split + DC predictor reset)."""
+        img = _gradient(40, 56)
+        plain = encode_jpeg(img, 85, "420")
+        rst = encode_jpeg(img, 85, "420", restart_interval=2)
+        assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+        assert b"\xff\xdd" not in plain
+        assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain))
+
+    @pytest.mark.parametrize("interval", [1, 3, 7])
+    def test_rst_intervals_444(self, interval):
+        img = _gradient(33, 25)
+        plain = decode_jpeg(encode_jpeg(img, 90, "444"))
+        with_rst = decode_jpeg(encode_jpeg(img, 90, "444", restart_interval=interval))
+        assert np.array_equal(plain, with_rst)
+
+
 class TestDeterminism:
     def test_bytes_stable(self):
         img = _gradient(37, 53)

@@ -1817,10 +1817,15 @@ class TestRealPngDecode:
         assert got.shape == (4, 6, 3)
         assert np.array_equal(got, decode_pixels_stub(bad, 6, 4))
 
-    def test_decode_image_real_non_png_raises(self):
+    def test_decode_image_real_unknown_format_raises(self):
         from osm_data_3d_tiles_spark.operators.multimodal import decode_image_real
 
-        with pytest.raises(NotImplementedError, match="only PNG"):
+        # WebP (RIFF) has no in-sandbox decoder → NotImplementedError
+        with pytest.raises(NotImplementedError, match="PNG and baseline JPEG"):
+            decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        # a JPEG-magic payload now dispatches to the real decoder, which
+        # refuses garbage with ValueError (decode_pixels degrades to stub)
+        with pytest.raises(ValueError):
             decode_image_real(b"\xff\xd8\xff\xe0 fake jpeg bytes")
 
     def test_resize_images_real_path(self, spark):
