@@ -184,6 +184,9 @@ def run_streaming_tile_counts(
 
     from osm_data_3d_tiles_spark.plans.contract import point_x_expr, point_y_expr
 
+    if provider not in ("hdfs", "rocksdb"):
+        raise ValueError(f"provider must be 'hdfs' or 'rocksdb', got {provider!r}")
+
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     if replicate > 1:
         reps = spark.range(replicate).select(F.col("id").alias("_rep"))
@@ -227,8 +230,6 @@ def run_streaming_tile_counts(
             provider_key,
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-    elif provider != "hdfs":
-        raise ValueError(f"provider must be 'hdfs' or 'rocksdb', got {provider!r}")
     try:
         pts.repartition(n_batches).write.mode("overwrite").parquet(src)
         stream = (

@@ -356,6 +356,10 @@ def encode_jpeg(
         raise ValueError("encode_jpeg wants (H,W,3) RGB or (H,W) grayscale")
     if subsample not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsample!r}")
+    if not (0 <= restart_interval <= 0xFFFF):
+        raise ValueError(
+            f"restart_interval must be in [0, 65535] (DRI is 16-bit), got {restart_interval}"
+        )
     h, w = img.shape[:2]
     if h < 1 or w < 1:
         raise ValueError("empty image")
@@ -467,6 +471,12 @@ def _parse_segments(data: bytes):
     while i < len(data):
         if data[i] != 0xFF:
             raise ValueError(f"marker expected at {i}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF fill
+        # bytes — real-world encoders pad with them
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= len(data):
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
         marker = data[i + 1]
         i += 2
         if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
@@ -552,7 +562,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid = payload[6 + 3 * ci]
                 hv = payload[7 + 3 * ci]
                 tq = payload[8 + 3 * ci]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"invalid sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             sof = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0/SOF1) supported")
@@ -575,6 +588,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("non-interleaved scans unsupported (baseline profile)")
     by_id = {c["id"]: c for c in comps}
     for sc in scan_comps:
+        if sc["id"] not in by_id:
+            raise ValueError(f"SOS component {sc['id']} not declared in SOF")
         c = by_id[sc["id"]]
         c["dc_tab"] = huff.get(sc["dc"])
         c["ac_tab"] = huff.get(0x10 | sc["ac"])

@@ -217,11 +217,13 @@ def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     payload must never fail the whole Arrow stage (round-4 ADVICE)."""
     head = bytes(payload[:8])
     if head == PNG_MAGIC or head[:3] == JPEG_MAGIC:
-        import zlib
-
         try:
             return decode_image_real(payload)
-        except (ValueError, zlib.error, IndexError):
+        except Exception:
+            # deliberately broad: corrupt crawl payloads raise whatever the
+            # bitstream math trips over (ValueError, zlib.error, KeyError,
+            # struct.error, ZeroDivisionError, ...) and NONE of them may fail
+            # the whole Arrow stage — the stub fallback IS the error handling
             return decode_pixels_stub(payload, width, height)
     return decode_pixels_stub(payload, width, height)
 
