@@ -317,8 +317,15 @@ def main() -> None:
         # smallest samples disagree by >10% (the minimum is uncorroborated —
         # the BENCH_r04 contention signature), keep sampling up to the extra
         # budget so one contended window can't become the official record.
+        # rounds=1 means "run once" (a smoke run): a single sample can never
+        # corroborate itself, so the extra budget defaults to 0 there instead
+        # of silently burning the whole resampling budget.
         flagship_rounds = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_ROUNDS", "3"))
-        flagship_max_extra = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_MAX_EXTRA", "4"))
+        flagship_max_extra = int(
+            os.environ.get(
+                "SPARK_GRAFT_FLAGSHIP_MAX_EXTRA", "4" if flagship_rounds > 1 else "0"
+            )
+        )
         runs = [run_flagship(spark, sf) for _ in range(flagship_rounds)]
         extra = 0
         while (
@@ -353,7 +360,11 @@ def main() -> None:
         # ordering is recorded in headline_order (round-4 ADVICE: cross-round
         # comparability).
         query_rounds = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "2")))
-        query_max_extra = int(os.environ.get("SPARK_GRAFT_QUERY_MAX_EXTRA", "3"))
+        query_max_extra = int(
+            os.environ.get(
+                "SPARK_GRAFT_QUERY_MAX_EXTRA", "3" if query_rounds > 1 else "0"
+            )
+        )
         result["queries_all_secs"] = {}
         result["headline_order"] = [n for n in HEADLINE if n in queries]
         for name in HEADLINE:
@@ -394,7 +405,11 @@ def main() -> None:
         # recorded number so micro-batch-path regressions are visible — same
         # min-corroboration resampling as the batch sections
         stream_rounds = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_ROUNDS", "2")))
-        stream_max_extra = int(os.environ.get("SPARK_GRAFT_STREAM_MAX_EXTRA", "2"))
+        stream_max_extra = int(
+            os.environ.get(
+                "SPARK_GRAFT_STREAM_MAX_EXTRA", "2" if stream_rounds > 1 else "0"
+            )
+        )
         def _stream_best(provider: str) -> dict:
             runs = [
                 run_streaming_tile_counts(spark, SF_DIR, provider=provider)

@@ -363,6 +363,10 @@ def encode_jpeg(
     h, w = img.shape[:2]
     if h < 1 or w < 1:
         raise ValueError("empty image")
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(
+            f"image {h}x{w} exceeds the 16-bit SOF dimension limit (65535)"
+        )
 
     qy = _quality_scaled(QUANT_LUMA, quality)
     qc = _quality_scaled(QUANT_CHROMA, quality)
@@ -520,8 +524,17 @@ def _split_entropy(tail: bytes) -> list[bytes]:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (H, W, 3) RGB uint8 (grayscale replicated to 3
-    channels). Raises ValueError on progressive/arithmetic/12-bit streams."""
-    data = bytes(data)
+    channels). Raises ValueError on progressive/arithmetic/12-bit streams and
+    on truncated or malformed streams (never IndexError/KeyError: segment
+    length fields can lie, so byte-index slips inside a parser are part of
+    the malformed-input contract, not internal errors)."""
+    try:
+        return _decode_jpeg_impl(bytes(data))
+    except (IndexError, KeyError) as exc:
+        raise ValueError(f"malformed JPEG stream: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[int, dict[tuple[int, int], int]] = {}
     sof = None

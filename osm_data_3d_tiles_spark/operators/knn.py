@@ -110,14 +110,21 @@ def knn_bruteforce_scan(queries: DataFrame, centroids: DataFrame) -> DataFrame:
     schema = scored.schema
 
     def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Fold each Arrow batch into a running per-query top-k_max frame (the
+        # similarity.py::_local_topk pattern) so a partition emits at most
+        # |queries|·k_max rows TOTAL — not per batch — into the final window.
+        kept: pd.DataFrame | None = None
         for pdf in batches:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values(["query_id", "dist2", "osm_id"], kind="mergesort")
+            pool = pdf if kept is None else pd.concat([kept, pdf], ignore_index=True)
+            pool = pool.sort_values(["query_id", "dist2", "osm_id"], kind="mergesort")
             # head(k_max) per query is a superset of every per-query top-k
-            # contribution from this batch; the final window restores exact
+            # contribution seen so far; the final window restores exact
             # per-query k and rank.
-            yield pdf.groupby("query_id", sort=False).head(int(pdf["k"].max()))
+            kept = pool.groupby("query_id", sort=False).head(int(pool["k"].max()))
+        if kept is not None and len(kept):
+            yield kept
 
     pruned = scored.mapInPandas(_local, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("osm_id"))

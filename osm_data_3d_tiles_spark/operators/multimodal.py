@@ -5,7 +5,10 @@ Decode status (no imaging libraries in this environment):
 - PNG payloads decode FOR REAL — `decode_image_real` runs the repo's
   pure-numpy PNG reader (zlib inflate + scanline unfilter, functions/atlas.py),
   and the resize stage dispatches on the PNG magic (`decode_pixels`).
-- Other formats (JPEG/WebP/audio/video codecs) remain stubbed:
+- JPEG payloads decode FOR REAL too (round 5) — baseline JFIF via the
+  from-scratch numpy codec in functions/jpeg.py (Huffman + dequant + IDCT +
+  4:2:0 upsampling, restart markers); dispatch is on the FFD8 magic.
+- Other formats (WebP/audio/video codecs) remain stubbed:
   `decode_image_stub`/`decode_pixels_stub` produce deterministic fake
   pixels/features so the Spark-side plumbing — schema, partition sizing, UDF
   signatures, Arrow batch shape — stays real and tested; wiring a codec

@@ -137,6 +137,32 @@ class TestRefusals:
         with pytest.raises(ValueError, match="subsampling"):
             encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), subsample="422")
 
+    def test_encode_oversize_refused(self):
+        """SOF dimensions are 16-bit; >= 65536 must raise, not wrap (a 65537-row
+        image would silently encode/decode as 1 row)."""
+        with pytest.raises(ValueError, match="16-bit"):
+            encode_jpeg(np.zeros((65537, 8, 3), dtype=np.uint8))
+        with pytest.raises(ValueError, match="16-bit"):
+            encode_jpeg(np.zeros((8, 65536), dtype=np.uint8))
+
+    def test_lying_segment_lengths_raise_valueerror(self):
+        """Segment length fields that cover less than the parser needs must
+        surface as the documented ValueError, never IndexError/KeyError."""
+        img = _gradient(16, 16)
+        data = bytearray(encode_jpeg(img, 85, "444"))
+        # cut the DHT payload short: shrink its 16-bit length to cover only
+        # the BITS table, dropping HUFFVAL bytes
+        i = data.find(b"\xff\xc4")
+        data[i + 2 : i + 4] = (2 + 1 + 16).to_bytes(2, "big")
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(data))
+        # and a SOF payload shorter than its component list claims
+        data = bytearray(encode_jpeg(img, 85, "444"))
+        j = data.find(b"\xff\xc0")
+        data[j + 2 : j + 4] = (2 + 6 + 3).to_bytes(2, "big")  # 1 of 3 comps
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(data))
+
 
 class TestSparkIntegration:
     def test_decode_image_real_jpeg(self, spark):
