@@ -15,7 +15,7 @@ The driver-side loop runs O(max_ring) small joins over the *unfinished* queries
 only; each iteration is a cell equi-join (shuffle keyed on cell), so it scales with
 query count, not with the building table. Queries still unfinished at max_ring
 (empty-region probes) fall back to a bounded full scan: the small query set is
-broadcast onto the distributed centroid table and pre-aggregated per batch
+broadcast onto the distributed centroid table and pre-aggregated per partition
 (knn_bruteforce_scan) — the centroid table itself is never broadcast.
 """
 
@@ -98,10 +98,11 @@ def knn_bruteforce_scan(queries: DataFrame, centroids: DataFrame) -> DataFrame:
     knn_bruteforce broadcasts the full centroid dimension — planet-sized at
     100× scale (round-4 VERDICT "What's wrong" #1). Here the broadcast side is
     the small unfinished-query set instead: the centroid table is scanned in
-    place (distributed, never collected), each Arrow batch keeps only its
-    local top-k per query (mapInPandas pre-aggregation, ≤ |queries|·k_max rows
-    emitted per batch), and one final per-query window ranks the bounded
-    survivor set exactly. Output contract identical to knn_bruteforce.
+    place (distributed, never collected), each partition folds its Arrow
+    batches into a running local top-k per query (mapInPandas pre-aggregation,
+    ≤ |queries|·k_max rows emitted per partition TOTAL), and one final
+    per-query window ranks the bounded survivor set exactly. Output contract
+    identical to knn_bruteforce.
     """
     cand = centroids.join(F.broadcast(queries.select("query_id", "x", "y", "k")))
     dist2 = (F.col("cx") - F.col("x")) ** 2 + (F.col("cy") - F.col("y")) ** 2
