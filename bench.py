@@ -443,7 +443,63 @@ def main() -> None:
         except Exception as e:  # never lose the headline JSON to a scaling hiccup
             result["scaling"] = {"error": f"{type(e).__name__}: {e}"}
 
-    print(json.dumps(result))
+    _emit(result)
+
+
+def _emit(result: dict) -> None:
+    """Print the headline as ONE COMPACT JSON line and park full sample detail
+    in a sidecar file.
+
+    The round driver captures only the last ~2000 characters of stdout and
+    parses the final line; once per-query sample lists landed (round 3) the
+    all-in-one line outgrew that window and BENCH_r03/r04 recorded
+    `parsed: null` — the graded numbers survived only inside the truncated
+    tail text. The stdout line therefore carries the contract fields (metric,
+    value, unit, sf, queries=best secs) plus compact flagship/scaling/
+    streaming summaries; every sample list and the headline ordering move to
+    `detail` (bench_results/last_run_detail.json), keeping the record
+    auditable without flooding the parse window."""
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results", "last_run_detail.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(result, f)
+        rel_detail = os.path.relpath(detail_path, os.getcwd())
+    except OSError:
+        rel_detail = None
+
+    compact = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "sf", "queries", "flagship_secs",
+                  "flagship_docs", "flagship_join_rows")
+        if k in result
+    }
+    for key in ("streaming_tile_counts", "streaming_tile_counts_rocksdb"):
+        st = result.get(key)
+        if isinstance(st, dict) and "secs" in st:
+            compact[key] = {k: st[k] for k in ("secs", "docs_per_sec") if k in st}
+    sc = result.get("scaling")
+    if isinstance(sc, dict) and "efficiency" in sc:
+        compact["scaling"] = {
+            "n_secs": sc["n"]["secs"],
+            "4n_secs": sc["4n"]["secs"],
+            "speedup": sc["speedup"],
+            "efficiency": sc["efficiency"],
+        }
+    elif sc is not None:
+        compact["scaling"] = sc
+    if rel_detail:
+        compact["detail"] = rel_detail
+
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900 and "queries" in compact:
+        # last-resort trim: keep the driver-contract fields parseable
+        compact["queries"] = {k: v for k, v in sorted(compact["queries"].items())[:20]}
+        compact["queries_truncated_see_detail"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 def scale_run_child(cores: int, sf: float, repl: int) -> None:
