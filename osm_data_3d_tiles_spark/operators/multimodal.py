@@ -8,7 +8,11 @@ Decode status (no imaging libraries in this environment):
 - JPEG payloads decode FOR REAL too (round 5) — baseline JFIF via the
   from-scratch numpy codec in functions/jpeg.py (Huffman + dequant + IDCT +
   4:2:0 upsampling, restart markers); dispatch is on the FFD8 magic.
-- Other formats (WebP/audio/video codecs) remain stubbed:
+- WAV audio decodes FOR REAL (round 5) — RIFF/WAVE PCM 8/16/24/32-bit and
+  float32/64 via the from-scratch numpy reader in functions/wav.py, feeding
+  real per-clip features (duration/rms/peak/zero-cross) in `audio_features`.
+- Other formats (WebP images; compressed audio MP3/AAC/Opus; video codecs)
+  remain stubbed:
   `decode_image_stub`/`decode_pixels_stub` produce deterministic fake
   pixels/features so the Spark-side plumbing — schema, partition sizing, UDF
   signatures, Arrow batch shape — stays real and tested; wiring a codec
@@ -278,3 +282,95 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
         "media_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
     )
     return imgs.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: WAV/PCM decodes for real (functions/wav.py); compressed audio
+# (MP3/AAC/Opus) keeps the stub contract, mirroring the image side.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio_real(payload: bytes):
+    """Real audio decode: WAV (RIFF/WAVE, PCM 8/16/24/32 + float32/64) →
+    (frames float64 (n, ch), sample_rate) via the from-scratch numpy reader
+    in functions/wav.py. Compressed formats raise ValueError — wire a codec
+    library here on a real cluster."""
+    from ..functions.wav import decode_wav
+
+    return decode_wav(payload)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip audio features as ONE Arrow stage: kind filter pushed to the
+    scan, WAV payloads decode for real (duration/rms/peak/zero-cross over the
+    actual frames), non-WAV or corrupt payloads degrade to a deterministic
+    stub row (decoded=false) instead of failing the stage — the same
+    odd-payload contract as decode_pixels (round-4 ADVICE)."""
+    from ..functions.wav import audio_feature_row, decode_wav
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, rate = decode_wav(payload)
+                    row = audio_feature_row(samples, rate)
+                    row.update(media_id=mid, n_bytes=len(payload), decoded=True)
+                except Exception:
+                    # stub features keep the stage alive on compressed/corrupt
+                    # payloads; deterministic so plumbing tests can pin them
+                    digest = hashlib.sha256(bytes(payload)).digest()
+                    row = {
+                        "media_id": mid, "n_bytes": len(payload), "decoded": False,
+                        "n_frames": 0, "n_channels": 0, "sample_rate": 0,
+                        "duration_s": 0.0,
+                        "rms": (digest[0] % 100) / 100.0,
+                        "peak": (digest[1] % 100) / 100.0,
+                        "zero_cross_rate": (digest[2] % 100) / 100.0,
+                    }
+                rows.append(row)
+            yield pd.DataFrame(rows)[[f.name for f in AUDIO_FEATURES_SCHEMA.fields]]
+
+    clips = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return clips.mapInPandas(_extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def make_wav_media_fixture(spark, n: int = 12) -> DataFrame:
+    """Media table whose audio payloads are REAL WAV bitstreams (deterministic
+    integer-phase sine + square mixes, encoded by the repo's own writer) —
+    exercises the real decode path end to end across bit depths, channel
+    counts and sample rates."""
+    from ..functions.wav import encode_wav
+
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 44100)[i % 3]
+        n_ch = 1 + (i % 2)
+        bits = (8, 16, 24, 32, -32)[i % 5]
+        n_frames = 256 + 64 * (i % 4)
+        t = np.arange(n_frames, dtype=np.float64)
+        freq = 110.0 * (1 + i % 7)
+        mono = 0.5 * np.sin(2 * np.pi * freq * t / rate) + 0.25 * np.sign(
+            np.sin(2 * np.pi * (freq / 2) * t / rate) + 1e-12
+        )
+        samples = np.stack([mono * (0.9 if c else 1.0) for c in range(n_ch)], axis=1)
+        payload = encode_wav(samples, rate, bits=bits)
+        rows.append((i, "audio", bytearray(payload), (None, None, "audio/wav", None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

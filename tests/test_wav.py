@@ -1,0 +1,137 @@
+"""From-scratch WAV codec (functions/wav.py) + real audio features
+(operators/multimodal.py::audio_features).
+
+Round-trips pin the sample math per bit depth; the refusal tests pin the
+ValueError contract (lying chunk sizes must never escape as IndexError);
+the Spark test drives the real decode end to end through the Arrow stage.
+"""
+
+import numpy as np
+import pytest
+
+from osm_data_3d_tiles_spark.functions.wav import (
+    audio_feature_row,
+    decode_wav,
+    encode_wav,
+)
+
+
+def _sine(n=500, rate=16000, freq=440.0, ch=1):
+    t = np.arange(n, dtype=np.float64)
+    mono = 0.6 * np.sin(2 * np.pi * freq * t / rate)
+    return np.stack([mono] * ch, axis=1)
+
+
+class TestRoundTrip:
+    # tol per depth = quantizer step/2 + full-scale convention skew
+    # (encode scales by 2^(b-1)-1, decode divides by 2^(b-1): adds |x|/2^(b-1))
+    @pytest.mark.parametrize("bits,tol", [(8, 0.01), (16, 4e-5),
+                                          (24, 2e-7), (32, 1e-9), (-32, 1e-7)])
+    def test_bit_depths(self, bits, tol):
+        x = _sine()
+        got, rate = decode_wav(encode_wav(x, 16000, bits=bits))
+        assert rate == 16000
+        assert got.shape == x.shape
+        assert np.abs(got - x).max() < tol
+
+    def test_stereo_interleave(self):
+        x = _sine(ch=2)
+        x[:, 1] *= 0.5  # distinct channels prove interleave order survives
+        got, _ = decode_wav(encode_wav(x, 8000, bits=16))
+        assert got.shape == x.shape
+        assert np.abs(got - x).max() < 1e-4
+
+    def test_deterministic_bytes(self):
+        x = _sine(123)
+        assert encode_wav(x, 44100) == encode_wav(x, 44100)
+
+    def test_odd_payload_word_alignment(self):
+        # 8-bit mono with odd frame count → odd data chunk → pad byte
+        x = _sine(333)
+        data = encode_wav(x, 8000, bits=8)
+        got, _ = decode_wav(data)
+        assert got.shape == x.shape
+
+
+class TestRefusals:
+    def test_not_wav(self):
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"\x89PNG\r\n\x1a\nnot audio")
+
+    def test_missing_data_chunk(self):
+        data = bytearray(encode_wav(_sine(64), 8000))
+        i = data.find(b"data")
+        data[i : i + 4] = b"junk"
+        with pytest.raises(ValueError, match="missing fmt/data"):
+            decode_wav(bytes(data))
+
+    def test_compressed_tag_refused(self):
+        data = bytearray(encode_wav(_sine(64), 8000))
+        i = data.find(b"fmt ")
+        data[i + 8] = 0x55  # MP3 format tag
+        with pytest.raises(ValueError, match="unsupported WAV format"):
+            decode_wav(bytes(data))
+
+    def test_lying_fmt_size_raises_valueerror(self):
+        data = bytearray(encode_wav(_sine(64), 8000))
+        i = data.find(b"fmt ")
+        data[i + 4 : i + 8] = (4).to_bytes(4, "little")  # fmt body cut to 4 bytes
+        with pytest.raises(ValueError):
+            decode_wav(bytes(data))
+
+    def test_encode_bad_input(self):
+        with pytest.raises(ValueError, match="bits"):
+            encode_wav(_sine(16), 8000, bits=12)
+        with pytest.raises(ValueError, match="sample_rate"):
+            encode_wav(_sine(16), 0)
+
+
+class TestFeatures:
+    def test_feature_row_values(self):
+        x = _sine(1000, rate=1000, freq=10.0)
+        row = audio_feature_row(x, 1000)
+        assert row["n_frames"] == 1000 and row["duration_s"] == 1.0
+        # RMS of a 0.6-amplitude sine = 0.6/sqrt(2)
+        assert abs(row["rms"] - 0.6 / np.sqrt(2)) < 1e-3
+        assert abs(row["peak"] - 0.6) < 1e-3
+        # a 10 Hz sine over 1 s crosses zero 20 times / 999 transitions
+        assert abs(row["zero_cross_rate"] - 20 / 999) < 2e-3
+
+    def test_empty_clip(self):
+        row = audio_feature_row(np.zeros((0, 1)), 8000)
+        assert row["n_frames"] == 0 and row["rms"] == 0.0
+
+
+class TestSparkAudioStage:
+    def test_audio_features_real_wav(self, spark):
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            audio_features,
+            make_wav_media_fixture,
+        )
+
+        media = make_wav_media_fixture(spark, n=12)
+        out = audio_features(media).toPandas().sort_values("media_id")
+        assert len(out) == 12
+        assert out["decoded"].all()
+        assert (out["sample_rate"].isin([8000, 16000, 44100])).all()
+        assert (out["n_frames"] >= 256).all()
+        assert (out["rms"] > 0.1).all() and (out["peak"] <= 1.0).all()
+        # recompute one row driver-side for parity with the Arrow stage
+        pdf = media.filter("media_id = 0").toPandas()
+        samples, rate = decode_wav(bytes(pdf["payload"][0]))
+        want = audio_feature_row(samples, rate)
+        got = out[out["media_id"] == 0].iloc[0]
+        assert got["n_frames"] == want["n_frames"]
+        assert abs(got["rms"] - want["rms"]) < 1e-12
+
+    def test_non_wav_payload_degrades_not_fails(self, spark):
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            audio_features,
+            make_media_fixture,
+        )
+
+        media = make_media_fixture(spark, n=9)  # audio payloads are junk bytes
+        out = audio_features(media).toPandas()
+        assert len(out) == 3  # kinds cycle image/audio/video
+        assert (~out["decoded"]).all()
+        assert (out["n_frames"] == 0).all()
