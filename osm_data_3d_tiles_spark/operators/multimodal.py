@@ -8,11 +8,17 @@ Decode status (no imaging libraries in this environment):
 - JPEG payloads decode FOR REAL too (round 5) — baseline JFIF via the
   from-scratch numpy codec in functions/jpeg.py (Huffman + dequant + IDCT +
   4:2:0 upsampling, restart markers); dispatch is on the FFD8 magic.
+- GIF payloads decode FOR REAL (round 5) — 87a/89a first frame via the
+  from-scratch LZW decoder in functions/gif.py (variable-width codes,
+  interlace, transparency compositing onto the logical screen).
 - WAV audio decodes FOR REAL (round 5) — RIFF/WAVE PCM 8/16/24/32-bit and
   float32/64 via the from-scratch numpy reader in functions/wav.py, feeding
   real per-clip features (duration/rms/peak/zero-cross) in `audio_features`.
-- Other formats (WebP images; compressed audio MP3/AAC/Opus; video codecs)
-  remain stubbed:
+- MJPEG-AVI video decodes FOR REAL (round 5) — RIFF container parse
+  (functions/avi.py) composed with the JPEG codec; `sample_video_frames`
+  decodes ONLY the sampled timestamps (cost ∝ samples, not clip length).
+- Other formats (WebP images; compressed audio MP3/AAC/Opus; inter-coded
+  video H.264/VP9/AV1) remain stubbed:
   `decode_image_stub`/`decode_pixels_stub` produce deterministic fake
   pixels/features so the Spark-side plumbing — schema, partition sizing, UDF
   signatures, Arrow batch shape — stays real and tested; wiring a codec
@@ -63,6 +69,7 @@ FEATURES_SCHEMA = T.StructType(
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8\xff"
+GIF_MAGIC = b"GIF8"  # GIF87a / GIF89a
 
 
 def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
@@ -73,8 +80,10 @@ def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
     library), alpha dropped. JPEG (baseline sequential JFIF — the dominant
     web-crawl format) decodes for real via functions/jpeg.py::decode_jpeg
     (from-scratch Huffman + dequant + IDCT + chroma upsample, pure numpy;
-    round-5). Remaining formats (WebP/AVIF/…) still raise — wire
-    Pillow/libvips here on a real cluster."""
+    round-5). GIF (87a/89a incl. interlace + transparency; first frame)
+    decodes via functions/gif.py::decode_gif (from-scratch LZW; round-5).
+    Remaining formats (WebP/AVIF/…) still raise — wire Pillow/libvips here
+    on a real cluster."""
     data = bytes(payload)
     if data[:8] == PNG_MAGIC:
         from ..functions.atlas import decode_png
@@ -84,10 +93,14 @@ def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
         from ..functions.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == GIF_MAGIC:
+        from ..functions.gif import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
-        "only PNG and baseline JPEG decode in-sandbox (pure-numpy readers); "
-        "other formats need an imaging library — use decode_image_stub for "
-        "plumbing tests"
+        "only PNG, baseline JPEG and GIF decode in-sandbox (pure-numpy "
+        "readers); other formats need an imaging library — use "
+        "decode_image_stub for plumbing tests"
     )
 
 
@@ -214,7 +227,7 @@ def decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Codec dispatch: PNG and baseline-JPEG payloads decode for REAL
+    """Codec dispatch: PNG, baseline-JPEG and GIF payloads decode for REAL
     (ignoring the declared metadata dims in favor of the bitstream's);
     everything else falls back to the deterministic stub so other-format
     plumbing tests keep working.
@@ -223,7 +236,7 @@ def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     arithmetic JPEG, corrupt stream) also degrades to the stub — one odd
     payload must never fail the whole Arrow stage (round-4 ADVICE)."""
     head = bytes(payload[:8])
-    if head == PNG_MAGIC or head[:3] == JPEG_MAGIC:
+    if head == PNG_MAGIC or head[:3] == JPEG_MAGIC or head[:4] == GIF_MAGIC:
         try:
             return decode_image_real(payload)
         except Exception:
@@ -350,6 +363,107 @@ def audio_features(media: DataFrame) -> DataFrame:
 
     clips = media.filter(F.col("kind") == "audio").select("media_id", "payload")
     return clips.mapInPandas(_extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: MJPEG-in-AVI decodes for real — the RIFF container parse
+# (functions/avi.py) composed with the from-scratch JPEG codec. Other video
+# formats keep the stub contract.
+# ---------------------------------------------------------------------------
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling for MJPEG-AVI payloads, one Arrow stage.
+
+    The scale property frame_sample_plan documents — "the expensive stage
+    only ever sees the frames it must produce" — holds here at the decode
+    level: the container parse locates every frame chunk, but ONLY the
+    sampled timestamps run the JPEG decode, so cost ∝ sampled frames, not
+    clip length. Non-AVI or corrupt payloads degrade to one deterministic
+    stub row (decoded=false) instead of failing the stage."""
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1, got {every_ms}")
+    from ..functions.avi import read_avi_mjpeg
+    from ..functions.jpeg import decode_jpeg
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    clip = read_avi_mjpeg(payload)
+                    fps = clip["fps"] or 1.0
+                    n = len(clip["frames"])
+                    step = max(1, int(round(every_ms * fps / 1000.0)))
+                    for fi in range(0, n, step):
+                        img = decode_jpeg(clip["frames"][fi])
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_index": fi,
+                                "frame_ts_ms": int(fi * 1000.0 / fps),
+                                "decoded": True,
+                                "width": img.shape[1],
+                                "height": img.shape[0],
+                                "mean_r": float(img[..., 0].mean()),
+                                "mean_g": float(img[..., 1].mean()),
+                                "mean_b": float(img[..., 2].mean()),
+                            }
+                        )
+                except Exception:
+                    digest = hashlib.sha256(bytes(payload)).digest()
+                    rows.append(
+                        {
+                            "media_id": mid, "frame_index": 0, "frame_ts_ms": 0,
+                            "decoded": False, "width": 0, "height": 0,
+                            "mean_r": float(digest[0]), "mean_g": float(digest[1]),
+                            "mean_b": float(digest[2]),
+                        }
+                    )
+            yield pd.DataFrame(rows)[[f.name for f in FRAME_SAMPLE_SCHEMA.fields]]
+
+    clips = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return clips.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def make_avi_media_fixture(spark, n: int = 6, frames_per_clip: int = 8) -> DataFrame:
+    """Media table whose video payloads are REAL MJPEG-AVI bitstreams
+    (deterministic moving-gradient frames, each encoded by the repo's own
+    JPEG writer, packed by the repo's own AVI writer)."""
+    from ..functions.avi import encode_avi_mjpeg
+
+    rows = []
+    for i in range(n):
+        w, h = 32 + (i % 3) * 16, 24 + (i % 2) * 8
+        frames = []
+        for t in range(frames_per_clip):
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[..., 0] = ((xx + 4 * t) * 255) // max(w - 1, 1) % 256
+            img[..., 1] = ((yy + 2 * t) * 255) // max(h - 1, 1) % 256
+            img[..., 2] = ((xx + yy + t) * 3) % 256
+            frames.append(img)
+        fps = (5.0, 10.0, 25.0)[i % 3]
+        payload = encode_avi_mjpeg(frames, fps=fps, quality=85)
+        duration_ms = int(frames_per_clip * 1000 / fps)
+        rows.append((i, "video", bytearray(payload), (w, h, "video/x-msvideo", duration_ms)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def make_wav_media_fixture(spark, n: int = 12) -> DataFrame:

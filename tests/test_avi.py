@@ -1,0 +1,119 @@
+"""MJPEG-AVI container codec (functions/avi.py) + real video frame sampling
+(operators/multimodal.py::sample_video_frames)."""
+
+import numpy as np
+import pytest
+
+from osm_data_3d_tiles_spark.functions.avi import encode_avi_mjpeg, read_avi_mjpeg
+from osm_data_3d_tiles_spark.functions.jpeg import decode_jpeg
+
+
+def _clip(n_frames=6, h=24, w=32):
+    frames = []
+    for t in range(n_frames):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        img[..., 0] = ((xx + 3 * t) * 255) // max(w - 1, 1) % 256
+        img[..., 1] = (yy * 255) // max(h - 1, 1)
+        img[..., 2] = (t * 40) % 256
+        frames.append(img)
+    return frames
+
+
+class TestContainer:
+    def test_round_trip_structure(self):
+        frames = _clip()
+        data = encode_avi_mjpeg(frames, fps=10.0)
+        clip = read_avi_mjpeg(data)
+        assert clip["n_frames"] == 6 and len(clip["frames"]) == 6
+        assert clip["fps"] == pytest.approx(10.0)
+        assert clip["width"] == 32 and clip["height"] == 24
+
+    def test_frames_decode_as_jpeg(self):
+        frames = _clip(n_frames=3)
+        clip = read_avi_mjpeg(encode_avi_mjpeg(frames, fps=5.0, quality=95))
+        for orig, payload in zip(frames, clip["frames"]):
+            img = decode_jpeg(payload)
+            assert img.shape == orig.shape
+            # lossy codec: gradients should still land close
+            assert np.abs(img.astype(int) - orig.astype(int)).mean() < 12
+
+    def test_deterministic_bytes(self):
+        frames = _clip(3)
+        assert encode_avi_mjpeg(frames, 10.0) == encode_avi_mjpeg(frames, 10.0)
+
+    def test_not_avi(self):
+        with pytest.raises(ValueError, match="RIFF/AVI"):
+            read_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+    def test_truncated_chunk(self):
+        data = bytearray(encode_avi_mjpeg(_clip(2), 10.0))
+        with pytest.raises(ValueError, match="truncated|overruns|no video"):
+            read_avi_mjpeg(bytes(data[: len(data) // 2]))
+
+    def test_no_frames(self):
+        with pytest.raises(ValueError, match="at least one frame"):
+            encode_avi_mjpeg([], 10.0)
+
+    def test_mismatched_dims(self):
+        with pytest.raises(ValueError, match="share dimensions"):
+            encode_avi_mjpeg([_clip(1)[0], _clip(1, h=8, w=8)[0]], 10.0)
+
+
+class TestSparkVideoStage:
+    def test_sample_video_frames_real(self, spark):
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            make_avi_media_fixture,
+            sample_video_frames,
+        )
+
+        media = make_avi_media_fixture(spark, n=6, frames_per_clip=8)
+        out = sample_video_frames(media, every_ms=400).toPandas()
+        assert out["decoded"].all()
+        # 5 fps clip @400 ms → step 2 → 4 frames; 10 fps → step 4 → 2;
+        # 25 fps → step 10 → 1
+        counts = out.groupby("media_id").size()
+        assert set(counts.values) == {4, 2, 1}
+        first = out[(out["media_id"] == 0) & (out["frame_index"] == 0)].iloc[0]
+        assert first["width"] == 32 and first["height"] == 24
+        assert 0.0 <= first["mean_r"] <= 255.0
+
+    def test_decode_cost_proportional_to_samples(self, spark):
+        """Sampling sparser must touch strictly fewer frames (the decode-only-
+        what-you-sample property), verified through the row counts."""
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            make_avi_media_fixture,
+            sample_video_frames,
+        )
+
+        media = make_avi_media_fixture(spark, n=3, frames_per_clip=12)
+        dense = sample_video_frames(media, every_ms=100).count()
+        sparse = sample_video_frames(media, every_ms=2000).count()
+        assert sparse < dense
+
+    def test_non_avi_payload_degrades_not_fails(self, spark):
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            make_media_fixture,
+            sample_video_frames,
+        )
+
+        media = make_media_fixture(spark, n=9)  # video payloads are junk bytes
+        out = sample_video_frames(media, every_ms=500).toPandas()
+        assert len(out) == 3 and (~out["decoded"]).all()
+
+    def test_frame_ts_matches_plan(self, spark):
+        """The metadata-only plan and the real decoder agree on timestamps."""
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            frame_sample_plan,
+            make_avi_media_fixture,
+            sample_video_frames,
+        )
+
+        media = make_avi_media_fixture(spark, n=1, frames_per_clip=8)  # 5 fps
+        real = sample_video_frames(media, every_ms=400).toPandas()
+        plan = frame_sample_plan(media, every_ms=400).toPandas()
+        real_ts = sorted(real["frame_ts_ms"])
+        plan_ts = sorted(plan["frame_ts_ms"])
+        # plan enumerates 0..duration inclusive; the real decoder stops at the
+        # last actual frame — the sampled instants it covers must line up
+        assert real_ts == plan_ts[: len(real_ts)]
