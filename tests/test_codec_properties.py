@@ -1,0 +1,118 @@
+"""Property-based round-trip gates for the from-scratch codecs (GIF, WAV,
+AVI/MJPEG, JPEG, PNG). Each property is the codec's strongest oracle
+available in-sandbox: encode→decode must reproduce the input exactly
+(lossless formats) or within the quantization bound (JPEG), for arbitrary
+generated inputs — not just the fixture shapes the unit tests pin."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def paletted_images(draw):
+    h = draw(st.integers(1, 40))
+    w = draw(st.integers(1, 40))
+    n_colors = draw(st.integers(1, 64))
+    palette = draw(
+        st.lists(
+            st.tuples(*[st.integers(0, 255)] * 3), min_size=n_colors,
+            max_size=n_colors, unique=True,
+        )
+    )
+    idx = draw(
+        st.lists(st.integers(0, n_colors - 1), min_size=h * w, max_size=h * w)
+    )
+    pal = np.array(palette, dtype=np.uint8)
+    return pal[np.array(idx, dtype=np.intp)].reshape(h, w, 3)
+
+
+class TestGifProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(paletted_images())
+    def test_round_trip_lossless(self, img):
+        from osm_data_3d_tiles_spark.functions.gif import decode_gif, encode_gif
+
+        assert (decode_gif(encode_gif(img)) == img).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(paletted_images(), st.integers(0, 10_000))
+    def test_mutations_never_escape_valueerror(self, img, seed):
+        from osm_data_3d_tiles_spark.functions.gif import decode_gif, encode_gif
+
+        data = bytearray(encode_gif(img))
+        rng = np.random.RandomState(seed)
+        for _ in range(3):
+            data[rng.randint(0, len(data))] = rng.randint(0, 256)
+        try:
+            decode_gif(bytes(data))
+        except ValueError:
+            pass  # the only allowed failure mode
+
+
+class TestWavProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 2000),
+        st.integers(1, 4),
+        st.sampled_from([8, 16, 24, 32, -32]),
+        st.integers(0, 2**31),
+    )
+    def test_round_trip_within_quantizer(self, n, ch, bits, seed):
+        from osm_data_3d_tiles_spark.functions.wav import decode_wav, encode_wav
+
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        x = rng.uniform(-1, 1, size=(n, ch))
+        got, rate = decode_wav(encode_wav(x, 22050, bits=bits))
+        assert rate == 22050 and got.shape == x.shape
+        step = 2.0 ** -(abs(bits) - 1)
+        tol = step / 2 + np.abs(x).max() * step + 1e-7
+        assert np.abs(got - x).max() <= tol
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=400))
+    def test_garbage_never_escapes_valueerror(self, blob):
+        from osm_data_3d_tiles_spark.functions.wav import decode_wav
+
+        try:
+            decode_wav(b"RIFF" + blob)
+        except ValueError:
+            pass
+
+
+class TestAviProperties:
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 5), st.integers(1, 3), st.integers(0, 2**31))
+    def test_container_preserves_frame_payloads(self, n_frames, scale, seed):
+        from osm_data_3d_tiles_spark.functions.avi import (
+            encode_avi_mjpeg,
+            read_avi_mjpeg,
+        )
+        from osm_data_3d_tiles_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        h, w = 8 * scale, 8 * scale
+        frames = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(n_frames)]
+        clip = read_avi_mjpeg(encode_avi_mjpeg(frames, fps=12.0))
+        assert len(clip["frames"]) == n_frames
+        # container must hand back EXACTLY the JPEG bytes it was given
+        for orig, payload in zip(frames, clip["frames"]):
+            assert payload == encode_jpeg(orig, quality=85, subsample="420")
+            decode_jpeg(payload)  # and they stay decodable
+
+
+class TestJpegProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(8, 40), st.integers(8, 40), st.integers(0, 2**31))
+    def test_smooth_images_bounded_error(self, h, w, seed):
+        from osm_data_3d_tiles_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        # smooth ramp + small noise: quality 95 must stay close
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 255 // max(w - 1, 1))[..., None].repeat(3, axis=2)
+        img = np.clip(base + rng.randint(-8, 9, base.shape), 0, 255).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, quality=95, subsample="444"))
+        assert got.shape == img.shape
+        assert np.abs(got.astype(int) - img.astype(int)).mean() < 10
