@@ -488,16 +488,25 @@ def _emit(result: dict) -> None:
             "speedup": sc["speedup"],
             "efficiency": sc["efficiency"],
         }
-    elif sc is not None:
-        compact["scaling"] = sc
+    elif isinstance(sc, dict):  # {'error': ...} — bound the text, it can
+        # embed a full child command line (TimeoutExpired does)
+        compact["scaling"] = {k: str(v)[:160] for k, v in sc.items()}
     if rel_detail:
         compact["detail"] = rel_detail
 
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900 and "queries" in compact:
-        # last-resort trim: keep the driver-contract fields parseable
+        # trim: keep the driver-contract fields parseable
         compact["queries"] = {k: v for k, v in sorted(compact["queries"].items())[:20]}
         compact["queries_truncated_see_detail"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # last resort: contract fields only — a parseable floor beats a
+        # truncated tail whatever grew
+        compact = {k: compact[k] for k in ("metric", "value", "unit", "sf") if k in compact}
+        compact["queries"] = {}
+        if rel_detail:
+            compact["detail"] = rel_detail
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

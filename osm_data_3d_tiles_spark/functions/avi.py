@@ -31,23 +31,12 @@ def _u16(b: bytes, o: int) -> int:
     return b[o] | (b[o + 1] << 8)
 
 
-def _walk_chunks(data: bytes, pos: int, end: int):
-    """Yield (fourcc, body_start, body_size) over a chunk run; LIST bodies
-    start after their 4-byte list type."""
-    while pos + 8 <= end:
-        cc = data[pos : pos + 4]
-        size = _u32(data, pos + 4)
-        body = pos + 8
-        if body + size > len(data):
-            raise ValueError(f"truncated AVI: chunk {cc!r} overruns the file")
-        yield cc, body, size
-        pos = body + size + (size & 1)  # word-aligned
-
-
 def read_avi_mjpeg(data: bytes) -> dict:
-    """AVI bytes → {"width", "height", "fps", "n_frames", "frames": [bytes]}
-    for the FIRST video stream. Frames are the raw per-chunk payloads (JPEG
-    bitstreams under MJPEG) — not decoded here."""
+    """AVI bytes → {"width", "height", "fps", "n_frames", "frames": [...]}
+    for the FIRST video stream. Frames are zero-copy memoryview slices over
+    the raw per-chunk payloads (JPEG bitstreams under MJPEG) — not decoded
+    and not copied here, so a sampler touching one frame of a long clip
+    pays for one frame."""
     try:
         return _read_impl(bytes(data))
     except (IndexError, KeyError) as exc:
@@ -59,38 +48,60 @@ def _read_impl(data: bytes) -> dict:
         raise ValueError("not a RIFF/AVI stream")
 
     info = {"width": 0, "height": 0, "fps": 0.0, "n_frames": 0}
-    frames: list[bytes] = []
+    frames: list[memoryview] = []
     vids_stream: int | None = None
     stream_idx = -1
+    view = memoryview(data)  # frames stay zero-copy slices of the input
 
-    def walk_list(pos: int, end: int) -> None:
-        nonlocal vids_stream, stream_idx
-        for cc, body, size in _walk_chunks(data, pos, end):
-            if cc == b"LIST":
-                walk_list(body + 4, body + size)
-            elif cc == b"avih":
-                if size < 40:
-                    raise ValueError("avih header truncated")
-                usec = _u32(data, body)
-                info["fps"] = 1e6 / usec if usec else 0.0
-                info["n_frames"] = _u32(data, body + 16)
-                info["width"] = _u32(data, body + 32)
-                info["height"] = _u32(data, body + 36)
-            elif cc == b"strh":
-                stream_idx += 1
-                if size >= 8 and data[body : body + 4] == b"vids" and vids_stream is None:
-                    vids_stream = stream_idx
-                    # dwScale/dwRate give the authoritative frame rate
-                    if size >= 28:
-                        scale, rate = _u32(data, body + 20), _u32(data, body + 24)
-                        if scale and rate:
-                            info["fps"] = rate / scale
-            elif len(cc) == 4 and cc[2:4] in (b"dc", b"db"):
-                sid = int(cc[:2]) if cc[:2].isdigit() else -1
-                if vids_stream is None or sid == vids_stream:
-                    frames.append(data[body : body + size])
-
-    walk_list(12, len(data))
+    # iterative in-order LIST walk (explicit resume stack): visits chunks in
+    # exact file order — hdrl's strh is seen before movi's frames — and a
+    # crafted file with thousands of nested LISTs parses (or fails with
+    # ValueError), never RecursionError
+    stack: list[tuple[int, int]] = []
+    pos, end = 12, len(data)
+    while True:
+        if pos + 8 > end:
+            if not stack:
+                break
+            pos, end = stack.pop()
+            continue
+        cc = data[pos : pos + 4]
+        size = _u32(data, pos + 4)
+        body = pos + 8
+        if body + size > len(data):
+            raise ValueError(f"truncated AVI: chunk {cc!r} overruns the file")
+        nxt = body + size + (size & 1)  # word-aligned
+        if cc == b"LIST":
+            stack.append((nxt, end))
+            pos, end = body + 4, body + size
+            continue
+        if cc == b"avih":
+            if size < 40:
+                raise ValueError("avih header truncated")
+            usec = _u32(data, body)
+            info["fps"] = 1e6 / usec if usec else 0.0
+            info["n_frames"] = _u32(data, body + 16)
+            info["width"] = _u32(data, body + 32)
+            info["height"] = _u32(data, body + 36)
+        elif cc == b"strh":
+            stream_idx += 1
+            if size >= 8 and data[body : body + 4] == b"vids" and vids_stream is None:
+                vids_stream = stream_idx
+                # dwScale/dwRate give the authoritative frame rate
+                if size >= 28:
+                    scale, rate = _u32(data, body + 20), _u32(data, body + 24)
+                    if scale and rate:
+                        info["fps"] = rate / scale
+        elif len(cc) == 4 and cc[2:4] in (b"dc", b"db"):
+            # two-char stream id; hex parse covers both the universal
+            # single-digit case and >= 10 streams ('0A'-style ids)
+            try:
+                sid = int(cc[:2], 16)
+            except ValueError:
+                sid = -1
+            if vids_stream is None or sid == vids_stream:
+                frames.append(view[body : body + size])
+        pos = nxt
     if not frames:
         raise ValueError("AVI stream has no video frame chunks")
     info["frames"] = frames

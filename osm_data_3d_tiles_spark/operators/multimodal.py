@@ -342,6 +342,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                 continue
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = b"" if payload is None else payload
                 try:
                     samples, rate = decode_wav(payload)
                     row = audio_feature_row(samples, rate)
@@ -406,18 +407,29 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 continue
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = b"" if payload is None else payload
                 try:
                     clip = read_avi_mjpeg(payload)
                     fps = clip["fps"] or 1.0
                     n = len(clip["frames"])
-                    step = max(1, int(round(every_ms * fps / 1000.0)))
-                    for fi in range(0, n, step):
-                        img = decode_jpeg(clip["frames"][fi])
+                    # sample the PLAN's instants (multiples of every_ms up to
+                    # the last frame time) and decode the nearest frame to
+                    # each — one decode per distinct frame, reused across
+                    # instants, so frame_ts_ms joins 1:1 with
+                    # frame_sample_plan's F.sequence output at any fps
+                    last_ms = int((n - 1) * 1000.0 / fps)
+                    decoded_cache: dict[int, np.ndarray] = {}
+                    for ts in range(0, last_ms + 1, every_ms):
+                        fi = min(n - 1, int(round(ts * fps / 1000.0)))
+                        img = decoded_cache.get(fi)
+                        if img is None:
+                            img = decode_jpeg(clip["frames"][fi])
+                            decoded_cache[fi] = img
                         rows.append(
                             {
                                 "media_id": mid,
                                 "frame_index": fi,
-                                "frame_ts_ms": int(fi * 1000.0 / fps),
+                                "frame_ts_ms": ts,
                                 "decoded": True,
                                 "width": img.shape[1],
                                 "height": img.shape[0],

@@ -101,6 +101,48 @@ class TestSparkVideoStage:
         out = sample_video_frames(media, every_ms=500).toPandas()
         assert len(out) == 3 and (~out["decoded"]).all()
 
+    def test_null_payload_degrades_not_fails(self, spark):
+        """A NULL payload row must produce a stub row, not kill the stage —
+        including inside the except handler (bytes(None) regression)."""
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            audio_features,
+            sample_video_frames,
+        )
+
+        media = spark.createDataFrame(
+            [(0, "video", None, (None, None, None, None)),
+             (1, "audio", None, (None, None, None, None))],
+            MEDIA_SCHEMA,
+        )
+        vf = sample_video_frames(media, every_ms=500).toPandas()
+        af = audio_features(media).toPandas()
+        assert len(vf) == 1 and not vf["decoded"].iloc[0]
+        assert len(af) == 1 and not af["decoded"].iloc[0]
+
+    def test_deeply_nested_lists_never_recursionerror(self):
+        """A crafted AVI of thousands of nested LISTs must parse or raise
+        ValueError — the walk is iterative, not recursive."""
+        from osm_data_3d_tiles_spark.functions.avi import read_avi_mjpeg
+
+        depth = 5000
+        inner = b""
+        for _ in range(depth):
+            body = b"hdrl" + inner
+            inner = b"LIST" + len(body).to_bytes(4, "little") + body
+        blob = b"RIFF" + (4 + len(inner)).to_bytes(4, "little") + b"AVI " + inner
+        with pytest.raises(ValueError, match="no video frame"):
+            read_avi_mjpeg(blob)
+
+    def test_frames_are_zero_copy_views(self):
+        from osm_data_3d_tiles_spark.functions.avi import (
+            encode_avi_mjpeg,
+            read_avi_mjpeg,
+        )
+
+        clip = read_avi_mjpeg(encode_avi_mjpeg(_clip(3), fps=10.0))
+        assert all(isinstance(f, memoryview) for f in clip["frames"])
+
     def test_frame_ts_matches_plan(self, spark):
         """The metadata-only plan and the real decoder agree on timestamps."""
         from osm_data_3d_tiles_spark.operators.multimodal import (
@@ -117,3 +159,19 @@ class TestSparkVideoStage:
         # plan enumerates 0..duration inclusive; the real decoder stops at the
         # last actual frame — the sampled instants it covers must line up
         assert real_ts == plan_ts[: len(real_ts)]
+
+    def test_frame_ts_joins_plan_at_awkward_fps(self):
+        """Non-integral every_ms*fps/1000 (fps=8, 400 ms) must still emit the
+        PLAN's instants — sampled timestamps are multiples of every_ms, with
+        the nearest frame decoded for each (the review-found divergence)."""
+        from osm_data_3d_tiles_spark.functions.avi import encode_avi_mjpeg, read_avi_mjpeg
+
+        frames = _clip(n_frames=8)
+        clip = read_avi_mjpeg(encode_avi_mjpeg(frames, fps=8.0))
+        assert clip["fps"] == pytest.approx(8.0)
+        # last frame at 875 ms → instants 0, 400, 800; nearest frames 0, 3, 6
+        last_ms = int((8 - 1) * 1000.0 / 8.0)
+        instants = list(range(0, last_ms + 1, 400))
+        assert instants == [0, 400, 800]
+        fis = [min(7, int(round(ts * 8.0 / 1000.0))) for ts in instants]
+        assert fis == [0, 3, 6]
