@@ -7,11 +7,16 @@ formats — the ones that appear in practice for uncompressed audio:
 
 - PCM (format tag 1): unsigned 8-bit, signed 16/24/32-bit
 - IEEE float (format tag 3): float32, float64
-- WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping either of the above
-  (SubFormat GUID prefix 1 or 3)
+- G.711 A-law (tag 6) and mu-law (tag 7): the ITU-T G.711 companded 8-bit
+  telephony codecs, expanded with the published segment tables — the only
+  "compressed" audio that is pure table math and therefore decodes honestly
+  in-sandbox
+- WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping any of the above
+  (SubFormat GUID prefix 1, 3, 6 or 7)
 
-Compressed tags (MP3/ADPCM/…) raise ValueError — mirroring the image-side
-contract (PNG/JPEG real, other codecs refused; see operators/multimodal.py).
+Other compressed tags (MP3/ADPCM/…) raise ValueError — mirroring the
+image-side contract (PNG/JPEG/GIF real, other codecs refused; see
+operators/multimodal.py).
 
 Reference parity note: the reference repo has no audio path at all — this
 module exists for the LLM-data-pipeline multimodal family (brief: treat
@@ -26,10 +31,12 @@ import numpy as np
 
 _PCM = 1
 _IEEE_FLOAT = 3
+_ALAW = 6
+_MULAW = 7
 _EXTENSIBLE = 0xFFFE
 
 # first two bytes of the SubFormat GUID hold the wrapped format tag
-_KSDATAFORMAT_PREFIX = {1: _PCM, 3: _IEEE_FLOAT}
+_KSDATAFORMAT_PREFIX = {1: _PCM, 3: _IEEE_FLOAT, 6: _ALAW, 7: _MULAW}
 
 WAV_MAGIC = b"RIFF"
 
@@ -40,6 +47,59 @@ def _u16(b: bytes, o: int) -> int:
 
 def _u32(b: bytes, o: int) -> int:
     return b[o] | (b[o + 1] << 8) | (b[o + 2] << 16) | (b[o + 3] << 24)
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law expand: uint8 codewords → float64 in [-1, 1].
+
+    The published expansion (complement, 4-bit mantissa + 3-bit segment with
+    bias 0x84) on the 16-bit scale; peak magnitude is 32124/32768."""
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    lin = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    return lin.astype(np.float64) / 32768.0
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law expand: uint8 codewords → float64 in [-1, 1].
+
+    Even bits are inverted on the wire (XOR 0x55); segment 0/1 are linear,
+    higher segments shift. Peak magnitude is 32256/32768; A-law has no exact
+    zero codeword (smallest magnitude is ±8/32768)."""
+    a = np.asarray(codes, dtype=np.uint8).astype(np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(
+        seg == 0,
+        t + 8,
+        (t + 0x108) << np.maximum(seg - 1, 0),
+    )
+    lin = np.where(a & 0x80, t, -t)
+    return lin.astype(np.float64) / 32768.0
+
+
+def _nearest_codeword_encoder(decode_fn):
+    """Optimal quantizer for an 8-bit companding law: encode each sample to
+    the codeword whose expansion is nearest. Built once from the 256-entry
+    decode table; encoding is two vectorized searchsorted/compare passes."""
+    codes = np.arange(256, dtype=np.uint8)
+    values = decode_fn(codes)
+    order = np.argsort(values, kind="stable")
+    sorted_vals = values[order]
+    sorted_codes = codes[order]
+
+    def encode(x: np.ndarray) -> np.ndarray:
+        x = np.clip(np.asarray(x, dtype=np.float64), -1.0, 1.0)
+        idx = np.clip(np.searchsorted(sorted_vals, x), 1, 255)
+        left, right = sorted_vals[idx - 1], sorted_vals[idx]
+        pick = np.where((x - left) <= (right - x), idx - 1, idx)
+        return sorted_codes[pick]
+
+    return encode
+
+
+mulaw_encode = _nearest_codeword_encoder(mulaw_decode)
+alaw_encode = _nearest_codeword_encoder(alaw_decode)
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
@@ -113,11 +173,15 @@ def _decode_wav_impl(data: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(pcm[: len(pcm) & ~3], dtype="<f4").astype(np.float64)
     elif tag == _IEEE_FLOAT and bits == 64:
         x = np.frombuffer(pcm[: len(pcm) & ~7], dtype="<f8").astype(np.float64)
+    elif tag == _MULAW and bits == 8:
+        x = mulaw_decode(np.frombuffer(pcm, dtype=np.uint8))
+    elif tag == _ALAW and bits == 8:
+        x = alaw_decode(np.frombuffer(pcm, dtype=np.uint8))
     else:
         raise ValueError(
             f"unsupported WAV format tag={tag} bits={bits} "
-            "(compressed audio needs a codec library; PCM 8/16/24/32 and "
-            "float32/64 decode in-sandbox)"
+            "(PCM 8/16/24/32, float32/64 and G.711 mu-law/A-law decode "
+            "in-sandbox; other compressed audio needs a codec library)"
         )
 
     n_frames = len(x) // n_ch
@@ -128,8 +192,9 @@ def encode_wav(
     samples: np.ndarray, sample_rate: int, bits: int = 16
 ) -> bytes:
     """(n_frames, n_channels) float in [-1, 1] → WAV bytes (PCM 16-bit by
-    default; 8/24/32 PCM and 32-bit float supported). Deterministic — used to
-    build checked-in test fixtures the same way encode_jpeg/encode_mvt do."""
+    default; 8/24/32 PCM, 32-bit float via bits=-32, and G.711 via
+    bits="ulaw"/"alaw" supported). Deterministic — used to build checked-in
+    test fixtures the same way encode_jpeg/encode_mvt do."""
     samples = np.asarray(samples, dtype=np.float64)
     if samples.ndim == 1:
         samples = samples[:, None]
@@ -159,11 +224,18 @@ def encode_wav(
         payload = np.round(clipped * float((1 << 31) - 1)).astype("<i4").tobytes()
     elif bits == -32:  # float32 convention: negative = IEEE float
         tag, payload = _IEEE_FLOAT, clipped.astype("<f4").tobytes()
+    elif bits == "ulaw":
+        tag, payload = _MULAW, mulaw_encode(clipped).tobytes()
+    elif bits == "alaw":
+        tag, payload = _ALAW, alaw_encode(clipped).tobytes()
     else:
-        raise ValueError(f"unsupported bits {bits} (8/16/24/32 PCM or -32 float)")
+        raise ValueError(
+            f"unsupported bits {bits} "
+            "(8/16/24/32 PCM, -32 float, 'ulaw' or 'alaw')"
+        )
 
     n_ch = samples.shape[1]
-    abits = abs(bits)
+    abits = 8 if isinstance(bits, str) else abs(bits)
     block_align = n_ch * abits // 8
     byte_rate = sample_rate * block_align
 

@@ -86,6 +86,73 @@ class TestRefusals:
             encode_wav(_sine(16), 0)
 
 
+class TestG711:
+    """ITU-T G.711 mu-law/A-law — values pinned to the published tables."""
+
+    def test_published_table_anchors(self):
+        from osm_data_3d_tiles_spark.functions.wav import alaw_decode, mulaw_decode
+
+        all_mu = mulaw_decode(np.arange(256, dtype=np.uint8)) * 32768
+        all_al = alaw_decode(np.arange(256, dtype=np.uint8)) * 32768
+        # mu-law: peak +/-32124, two exact-zero codewords (0x7F and 0xFF)
+        assert all_mu.max() == 32124 and all_mu.min() == -32124
+        assert all_mu[0x7F] == 0 and all_mu[0xFF] == 0
+        # A-law: peak +/-32256, no zero (smallest magnitude 8)
+        assert all_al.max() == 32256 and all_al.min() == -32256
+        assert np.abs(all_al).min() == 8
+
+    @pytest.mark.parametrize("law", ["ulaw", "alaw"])
+    def test_codeword_round_trip_exact(self, law):
+        from osm_data_3d_tiles_spark.functions.wav import (
+            alaw_decode, alaw_encode, mulaw_decode, mulaw_encode)
+
+        dec = mulaw_decode if law == "ulaw" else alaw_decode
+        enc = mulaw_encode if law == "ulaw" else alaw_encode
+        v = dec(np.arange(256, dtype=np.uint8))
+        # nearest-codeword encode of an exact table value must reproduce it
+        assert np.array_equal(dec(enc(v)), v)
+
+    @pytest.mark.parametrize("law", ["ulaw", "alaw"])
+    def test_wav_round_trip(self, law):
+        # top-segment step is 1024/32768, so worst-case error ~0.016
+        x = _sine()
+        got, rate = decode_wav(encode_wav(x, 16000, bits=law))
+        assert rate == 16000 and got.shape == x.shape
+        assert np.abs(got - x).max() < 0.02
+
+    def test_stereo_interleave(self):
+        x = _sine(ch=2)
+        x[:, 1] *= 0.5
+        got, _ = decode_wav(encode_wav(x, 8000, bits="ulaw"))
+        assert np.abs(got - x).max() < 0.02
+
+    def test_extensible_wrap(self):
+        # rewrite the fmt chunk as WAVE_FORMAT_EXTENSIBLE with SubFormat 7
+        x = _sine(64)
+        data = bytearray(encode_wav(x, 8000, bits="ulaw"))
+        i = data.find(b"fmt ")
+        body = data[i + 8 : i + 8 + 16]
+        ext = bytearray(body)
+        ext[0:2] = (0xFFFE).to_bytes(2, "little")
+        ext += (22).to_bytes(2, "little")           # cbSize
+        ext += (8).to_bytes(2, "little")            # valid bits
+        ext += (0).to_bytes(4, "little")            # channel mask
+        ext += (7).to_bytes(2, "little") + b"\x00" * 14  # SubFormat GUID
+        rebuilt = (
+            bytes(data[:i]) + b"fmt " + len(ext).to_bytes(4, "little") + bytes(ext)
+            + bytes(data[i + 8 + 16 :])
+        )
+        # fix the RIFF size for the 24 extra fmt bytes
+        rebuilt = (
+            rebuilt[:4]
+            + (len(rebuilt) - 8).to_bytes(4, "little")
+            + rebuilt[8:]
+        )
+        got, rate = decode_wav(rebuilt)
+        assert rate == 8000
+        assert np.abs(got - x).max() < 0.02
+
+
 class TestFeatures:
     def test_feature_row_values(self):
         x = _sine(1000, rate=1000, freq=10.0)
