@@ -12,9 +12,10 @@ Decode status (no imaging libraries in this environment):
   from-scratch LZW decoder in functions/gif.py (variable-width codes,
   interlace, transparency compositing onto the logical screen).
 - WAV audio decodes FOR REAL (round 5) — RIFF/WAVE PCM 8/16/24/32-bit and
-  float32/64 plus G.711 mu-law/A-law telephony companding via the
-  from-scratch numpy reader in functions/wav.py, feeding real per-clip
-  features (duration/rms/peak/zero-cross) in `audio_features`.
+  float32/64, G.711 mu-law/A-law telephony companding, and IMA/DVI ADPCM
+  4-bit delta coding via the from-scratch numpy reader in functions/wav.py,
+  feeding real per-clip features (duration/rms/peak/zero-cross) in
+  `audio_features`.
 - MJPEG-AVI video decodes FOR REAL (round 5) — RIFF container parse
   (functions/avi.py) composed with the JPEG codec; `sample_video_frames`
   decodes ONLY the sampled timestamps (cost ∝ samples, not clip length).
@@ -299,9 +300,9 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Audio: WAV decodes for real (functions/wav.py — PCM, float, G.711);
-# other compressed audio (MP3/AAC/Opus) keeps the stub contract, mirroring
-# the image side.
+# Audio: WAV decodes for real (functions/wav.py — PCM, float, G.711,
+# IMA ADPCM); other compressed audio (MP3/AAC/Opus) keeps the stub
+# contract, mirroring the image side.
 # ---------------------------------------------------------------------------
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

@@ -153,6 +153,53 @@ class TestG711:
         assert np.abs(got - x).max() < 0.02
 
 
+class TestImaAdpcm:
+    """IMA/DVI ADPCM (tag 0x11): 4-bit delta coding, published step tables."""
+
+    def test_sine_round_trip_snr(self):
+        # typical IMA ADPCM fidelity is 30+ dB on a full-band sine
+        t = np.arange(2000) / 16000.0
+        x = (0.7 * np.sin(2 * np.pi * 440 * t))[:, None]
+        got, rate = decode_wav(encode_wav(x, 16000, bits="adpcm"))
+        assert rate == 16000 and got.shape == x.shape
+        err = got - x
+        snr = 10 * np.log10((x**2).mean() / (err**2).mean())
+        assert snr > 30, snr
+        assert np.abs(err).max() < 0.05
+
+    def test_stereo_channels_independent(self):
+        t = np.arange(1500) / 16000.0
+        x = np.stack(
+            [0.6 * np.sin(2 * np.pi * 300 * t), 0.3 * np.sin(2 * np.pi * 750 * t)],
+            axis=1,
+        )
+        got, _ = decode_wav(encode_wav(x, 16000, bits="adpcm"))
+        assert got.shape == x.shape
+        assert np.abs(got - x).max() < 0.05
+
+    @pytest.mark.parametrize("n", [1, 7, 504, 505, 506, 1011])
+    def test_fact_chunk_preserves_frame_count(self, n):
+        # spb=505 for mono/256-byte blocks: cover below/at/above boundaries
+        x = (0.5 * np.sin(2 * np.pi * 5 * np.arange(n) / 100.0))[:, None]
+        got, _ = decode_wav(encode_wav(x, 8000, bits="adpcm"))
+        assert got.shape == (n, 1)
+
+    def test_bad_step_index_refused(self):
+        x = _sine(600)
+        data = bytearray(encode_wav(x, 8000, bits="adpcm"))
+        i = data.find(b"data")
+        data[i + 8 + 2] = 89  # first block header's step index out of range
+        with pytest.raises(ValueError, match="step index"):
+            decode_wav(bytes(data))
+
+    def test_random_walk_tracks_tightly(self):
+        # smooth signals are ADPCM's sweet spot: error ~ one step
+        rng = np.random.default_rng(7)
+        x = np.clip(np.cumsum(rng.normal(0, 0.004, 5000)), -0.9, 0.9)[:, None]
+        got, _ = decode_wav(encode_wav(x, 8000, bits="adpcm"))
+        assert np.abs(got - x).max() < 0.02
+
+
 class TestFeatures:
     def test_feature_row_values(self):
         x = _sine(1000, rate=1000, freq=10.0)
