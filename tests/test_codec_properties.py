@@ -80,6 +80,44 @@ class TestWavProperties:
         except ValueError:
             pass
 
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.sampled_from(["ulaw", "alaw"]),
+        st.integers(1, 800),
+        st.integers(1, 3),
+        st.integers(0, 2**31),
+    )
+    def test_g711_encode_is_optimal_quantizer(self, law, n, ch, seed):
+        # the nearest-codeword encoder must match an exhaustive argmin over
+        # all 256 expansions, for arbitrary samples
+        from osm_data_3d_tiles_spark.functions.wav import (
+            alaw_decode, alaw_encode, mulaw_decode, mulaw_encode)
+
+        dec = mulaw_decode if law == "ulaw" else alaw_decode
+        enc = mulaw_encode if law == "ulaw" else alaw_encode
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        x = rng.uniform(-1, 1, size=n * ch)
+        table = dec(np.arange(256, dtype=np.uint8))
+        best = np.abs(x[:, None] - table[None, :]).min(axis=1)
+        got = np.abs(dec(enc(x)) - x)
+        assert np.allclose(got, best)
+        assert got.max() <= 0.02  # half the top-segment gap + clip region
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 1600), st.integers(1, 3), st.integers(0, 2**31))
+    def test_adpcm_shape_exact_and_smooth_error_bounded(self, n, ch, seed):
+        from osm_data_3d_tiles_spark.functions.wav import decode_wav, encode_wav
+
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        # smooth signal: per-sample delta well inside the step table's range
+        x = np.clip(
+            np.cumsum(rng.uniform(-0.01, 0.01, size=(n, ch)), axis=0), -0.95, 0.95
+        )
+        got, rate = decode_wav(encode_wav(x, 8000, bits="adpcm"))
+        assert rate == 8000 and got.shape == x.shape  # fact chunk exact
+        assert np.abs(got).max() <= 1.0
+        assert np.abs(got - x).max() < 0.05
+
 
 class TestAviProperties:
     @settings(max_examples=15, deadline=None)
