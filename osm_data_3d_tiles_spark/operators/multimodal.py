@@ -11,6 +11,9 @@ Decode status (no imaging libraries in this environment):
 - GIF payloads decode FOR REAL (round 5) — 87a/89a first frame via the
   from-scratch LZW decoder in functions/gif.py (variable-width codes,
   interlace, transparency compositing onto the logical screen).
+- BMP payloads decode FOR REAL (round 5) — uncompressed BI_RGB DIBs
+  (8-bit palettized / 24 / 32 bpp, bottom-up or top-down) via the
+  pure-numpy reader in functions/bmp.py.
 - WAV audio decodes FOR REAL (round 5) — RIFF/WAVE PCM 8/16/24/32-bit and
   float32/64, G.711 mu-law/A-law telephony companding, and IMA/DVI ADPCM
   4-bit delta coding via the from-scratch numpy reader in functions/wav.py,
@@ -72,6 +75,7 @@ FEATURES_SCHEMA = T.StructType(
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8\xff"
 GIF_MAGIC = b"GIF8"  # GIF87a / GIF89a
+BMP_MAGIC = b"BM"
 
 
 def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
@@ -84,8 +88,9 @@ def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
     (from-scratch Huffman + dequant + IDCT + chroma upsample, pure numpy;
     round-5). GIF (87a/89a incl. interlace + transparency; first frame)
     decodes via functions/gif.py::decode_gif (from-scratch LZW; round-5).
-    Remaining formats (WebP/AVIF/…) still raise — wire Pillow/libvips here
-    on a real cluster."""
+    BMP (uncompressed BI_RGB, 8/24/32 bpp) decodes via
+    functions/bmp.py::decode_bmp. Remaining formats (WebP/AVIF/…) still
+    raise — wire Pillow/libvips here on a real cluster."""
     data = bytes(payload)
     if data[:8] == PNG_MAGIC:
         from ..functions.atlas import decode_png
@@ -99,8 +104,12 @@ def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
         from ..functions.gif import decode_gif
 
         return decode_gif(data)
+    if data[:2] == BMP_MAGIC:
+        from ..functions.bmp import decode_bmp
+
+        return decode_bmp(data)
     raise NotImplementedError(
-        "only PNG, baseline JPEG and GIF decode in-sandbox (pure-numpy "
+        "only PNG, baseline JPEG, GIF and BMP decode in-sandbox (pure-numpy "
         "readers); other formats need an imaging library — use "
         "decode_image_stub for plumbing tests"
     )
@@ -229,7 +238,7 @@ def decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Codec dispatch: PNG, baseline-JPEG and GIF payloads decode for REAL
+    """Codec dispatch: PNG, baseline-JPEG, GIF and BMP payloads decode for REAL
     (ignoring the declared metadata dims in favor of the bitstream's);
     everything else falls back to the deterministic stub so other-format
     plumbing tests keep working.
@@ -238,7 +247,12 @@ def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     arithmetic JPEG, corrupt stream) also degrades to the stub — one odd
     payload must never fail the whole Arrow stage (round-4 ADVICE)."""
     head = bytes(payload[:8])
-    if head == PNG_MAGIC or head[:3] == JPEG_MAGIC or head[:4] == GIF_MAGIC:
+    if (
+        head == PNG_MAGIC
+        or head[:3] == JPEG_MAGIC
+        or head[:4] == GIF_MAGIC
+        or head[:2] == BMP_MAGIC
+    ):
         try:
             return decode_image_real(payload)
         except Exception:
