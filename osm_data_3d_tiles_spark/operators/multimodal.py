@@ -14,6 +14,9 @@ Decode status (no imaging libraries in this environment):
 - BMP payloads decode FOR REAL (round 5) — uncompressed BI_RGB DIBs
   (8-bit palettized / 24 / 32 bpp, bottom-up or top-down) via the
   pure-numpy reader in functions/bmp.py.
+- ICO favicons decode FOR REAL (round 5) — best directory entry, both
+  PNG-compressed and headerless-DIB entries (XOR pixels + AND transparency
+  mask, alpha composited onto black), functions/bmp.py::decode_ico.
 - WAV audio decodes FOR REAL (round 5) — RIFF/WAVE PCM 8/16/24/32-bit and
   float32/64, G.711 mu-law/A-law telephony companding, and IMA/DVI ADPCM
   4-bit delta coding via the from-scratch numpy reader in functions/wav.py,
@@ -76,6 +79,7 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8\xff"
 GIF_MAGIC = b"GIF8"  # GIF87a / GIF89a
 BMP_MAGIC = b"BM"
+ICO_MAGIC = b"\x00\x00\x01\x00"
 
 
 def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
@@ -89,8 +93,9 @@ def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
     round-5). GIF (87a/89a incl. interlace + transparency; first frame)
     decodes via functions/gif.py::decode_gif (from-scratch LZW; round-5).
     BMP (uncompressed BI_RGB, 8/24/32 bpp) decodes via
-    functions/bmp.py::decode_bmp. Remaining formats (WebP/AVIF/…) still
-    raise — wire Pillow/libvips here on a real cluster."""
+    functions/bmp.py::decode_bmp; ICO favicons (PNG or DIB entries) via
+    decode_ico. Remaining formats (WebP/AVIF/…) still raise — wire
+    Pillow/libvips here on a real cluster."""
     data = bytes(payload)
     if data[:8] == PNG_MAGIC:
         from ..functions.atlas import decode_png
@@ -108,9 +113,13 @@ def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
         from ..functions.bmp import decode_bmp
 
         return decode_bmp(data)
+    if data[:4] == ICO_MAGIC:
+        from ..functions.bmp import decode_ico
+
+        return decode_ico(data)
     raise NotImplementedError(
-        "only PNG, baseline JPEG, GIF and BMP decode in-sandbox (pure-numpy "
-        "readers); other formats need an imaging library — use "
+        "only PNG, baseline JPEG, GIF, BMP and ICO decode in-sandbox "
+        "(pure-numpy readers); other formats need an imaging library — use "
         "decode_image_stub for plumbing tests"
     )
 
@@ -238,7 +247,7 @@ def decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Codec dispatch: PNG, baseline-JPEG, GIF and BMP payloads decode for REAL
+    """Codec dispatch: PNG, baseline-JPEG, GIF, BMP and ICO payloads decode for REAL
     (ignoring the declared metadata dims in favor of the bitstream's);
     everything else falls back to the deterministic stub so other-format
     plumbing tests keep working.
@@ -252,6 +261,7 @@ def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
         or head[:3] == JPEG_MAGIC
         or head[:4] == GIF_MAGIC
         or head[:2] == BMP_MAGIC
+        or head[:4] == ICO_MAGIC
     ):
         try:
             return decode_image_real(payload)

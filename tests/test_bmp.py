@@ -136,6 +136,77 @@ class TestRefusals:
             encode_bmp(_grad(), bpp=16)
 
 
+class TestIco:
+    def test_dib_entry_round_trip(self):
+        from osm_data_3d_tiles_spark.functions.bmp import decode_ico, encode_ico
+
+        img = _grad()
+        assert (decode_ico(encode_ico(img)) == img).all()
+
+    def test_png_entry_with_alpha_composites_black(self):
+        from osm_data_3d_tiles_spark.functions.atlas import encode_png
+        from osm_data_3d_tiles_spark.functions.bmp import decode_ico
+
+        img = _grad(h=9, w=9)
+        rgba = np.dstack([img, np.full((9, 9), 128, np.uint8)])
+        png = encode_png(rgba)
+        entry = (
+            bytes((9, 9, 0, 0)) + (1).to_bytes(2, "little")
+            + (32).to_bytes(2, "little") + len(png).to_bytes(4, "little")
+            + (22).to_bytes(4, "little")
+        )
+        ico = b"\x00\x00\x01\x00" + (1).to_bytes(2, "little") + entry + png
+        want = (img.astype(np.uint16) * 128 // 255).astype(np.uint8)
+        assert (decode_ico(ico) == want).all()
+
+    def test_and_mask_zeroes_transparent_pixels(self):
+        from osm_data_3d_tiles_spark.functions.bmp import decode_ico, encode_ico
+
+        img = _grad(h=5, w=9)
+        data = bytearray(encode_ico(img))
+        off = 6 + 16 + 40
+        n_px = 5 * 9
+        xor = np.frombuffer(bytes(data[off : off + n_px * 4]), dtype=np.uint8)
+        xor = xor.reshape(-1, 4).copy()
+        xor[:, 3] = 0  # zero alpha → decoder must honor the AND mask instead
+        data[off : off + n_px * 4] = xor.tobytes()
+        data[off + n_px * 4] = 0b10000000  # bottom-left pixel transparent
+        got = decode_ico(bytes(data))
+        assert (got[-1, 0] == 0).all()
+        assert (got[0, 0] == img[0, 0]).all()
+
+    def test_best_entry_selection(self):
+        from osm_data_3d_tiles_spark.functions.bmp import decode_ico, encode_ico
+
+        small = _grad(h=4, w=4)
+        big = _grad(h=12, w=12)
+        a, b = encode_ico(small), encode_ico(big)
+        # splice both single-entry files into one two-entry directory
+        ea, eb = bytearray(a[6:22]), bytearray(b[6:22])
+        da, db = a[22:], b[22:]
+        off_a = 6 + 32
+        off_b = off_a + len(da)
+        ea[12:16] = off_a.to_bytes(4, "little")
+        eb[12:16] = off_b.to_bytes(4, "little")
+        ico = (
+            b"\x00\x00\x01\x00" + (2).to_bytes(2, "little")
+            + bytes(ea) + bytes(eb) + da + db
+        )
+        assert decode_ico(ico).shape == (12, 12, 3)  # picks the larger
+
+    def test_refusals(self):
+        from osm_data_3d_tiles_spark.functions.bmp import decode_ico, encode_ico
+
+        with pytest.raises(ValueError, match="not an ICO"):
+            decode_ico(b"BM" + b"\x00" * 60)
+        with pytest.raises(ValueError, match="empty"):
+            decode_ico(b"\x00\x00\x01\x00\x00\x00")
+        data = bytearray(encode_ico(_grad()))
+        data[14:18] = (10**6).to_bytes(4, "little")  # lying entry size
+        with pytest.raises(ValueError, match="out of bounds"):
+            decode_ico(bytes(data))
+
+
 class TestDispatch:
     def test_decode_image_real_bmp(self):
         from osm_data_3d_tiles_spark.operators.multimodal import decode_image_real
@@ -156,3 +227,10 @@ class TestDispatch:
         corrupt[30] = 1  # RLE flag → real decode raises → stub fallback
         got = decode_pixels(bytes(corrupt), 9, 7)
         assert (got == decode_pixels_stub(bytes(corrupt), 9, 7)).all()
+
+    def test_decode_pixels_ico(self):
+        from osm_data_3d_tiles_spark.functions.bmp import encode_ico
+        from osm_data_3d_tiles_spark.operators.multimodal import decode_pixels
+
+        img = _grad()
+        assert (decode_pixels(encode_ico(img), 1, 1) == img).all()

@@ -1821,7 +1821,7 @@ class TestRealPngDecode:
         from osm_data_3d_tiles_spark.operators.multimodal import decode_image_real
 
         # WebP (RIFF) has no in-sandbox decoder → NotImplementedError
-        with pytest.raises(NotImplementedError, match="PNG, baseline JPEG, GIF and BMP"):
+        with pytest.raises(NotImplementedError, match="decode in-sandbox"):
             decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
         # a JPEG-magic payload now dispatches to the real decoder, which
         # refuses garbage with ValueError (decode_pixels degrades to stub)
