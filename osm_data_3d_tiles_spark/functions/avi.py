@@ -110,12 +110,120 @@ def _read_impl(data: bytes) -> dict:
     return info
 
 
+def read_avi_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes → (samples, sample_rate) of the FIRST audio (`auds`) stream.
+
+    The stream's `strf` IS a WAVEFORMATEX — byte-identical to a WAV `fmt `
+    chunk body — so this re-wraps it plus the concatenated `##wb` payloads
+    as a RIFF/WAVE stream and hands it to functions/wav.py::decode_wav.
+    Every WAV-family codec (PCM 8/16/24/32, float, G.711 mu-law/A-law,
+    IMA ADPCM) therefore works inside an AVI container for free."""
+    try:
+        return _read_audio_impl(bytes(data))
+    except (IndexError, KeyError) as exc:
+        raise ValueError(f"malformed AVI stream: {type(exc).__name__}: {exc}") from exc
+
+
+def _read_audio_impl(data: bytes) -> tuple[np.ndarray, int]:
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+
+    auds_stream: int | None = None
+    auds_frames = 0  # strh dwLength: total sample frames (trims ADPCM padding)
+    stream_idx = -1
+    last_strh_is_auds = False
+    fmt_body: bytes | None = None
+    payloads: list[bytes] = []
+
+    stack: list[tuple[int, int]] = []
+    pos, end = 12, len(data)
+    while True:
+        if pos + 8 > end:
+            if not stack:
+                break
+            pos, end = stack.pop()
+            continue
+        cc = data[pos : pos + 4]
+        size = _u32(data, pos + 4)
+        body = pos + 8
+        if body + size > len(data):
+            raise ValueError(f"truncated AVI: chunk {cc!r} overruns the file")
+        nxt = body + size + (size & 1)
+        if cc == b"LIST":
+            stack.append((nxt, end))
+            pos, end = body + 4, body + size
+            continue
+        if cc == b"strh":
+            stream_idx += 1
+            last_strh_is_auds = (
+                size >= 4 and data[body : body + 4] == b"auds" and auds_stream is None
+            )
+            if last_strh_is_auds:
+                auds_stream = stream_idx
+                if size >= 36:
+                    auds_frames = _u32(data, body + 32)
+        elif cc == b"strf":
+            if last_strh_is_auds and fmt_body is None:
+                fmt_body = data[body : body + size]
+            last_strh_is_auds = False
+        elif len(cc) == 4 and cc[2:4] == b"wb":
+            try:
+                sid = int(cc[:2], 16)
+            except ValueError:
+                sid = -1
+            if auds_stream is not None and sid == auds_stream:
+                payloads.append(data[body : body + size])
+        pos = nxt
+
+    if fmt_body is None or not payloads:
+        raise ValueError("AVI stream has no audio track")
+    from .wav import decode_wav
+
+    def u32(v: int) -> bytes:
+        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF))
+
+    pcm = b"".join(payloads)
+    fmt_chunk = b"fmt " + u32(len(fmt_body)) + fmt_body
+    if len(fmt_body) & 1:
+        fmt_chunk += b"\x00"
+    wav_body = b"WAVE" + fmt_chunk + b"data" + u32(len(pcm)) + pcm
+    samples, rate = decode_wav(b"RIFF" + u32(len(wav_body)) + wav_body)
+    if 0 < auds_frames < len(samples):
+        samples = samples[:auds_frames]  # compressed fmts pad to block size
+    return samples, rate
+
+
+def _split_wav(wav: bytes) -> tuple[bytes, bytes]:
+    """RIFF/WAVE bytes → (fmt chunk body, data chunk payload) — used to embed
+    an encode_wav result into an AVI auds stream."""
+    fmt_body = payload = None
+    pos = 12
+    while pos + 8 <= len(wav):
+        cid = wav[pos : pos + 4]
+        size = _u32(wav, pos + 4)
+        if cid == b"fmt ":
+            fmt_body = wav[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            payload = wav[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt_body is None or payload is None:
+        raise ValueError("malformed WAV from encode_wav")
+    return fmt_body, payload
+
+
 def encode_avi_mjpeg(
-    frames: list[np.ndarray], fps: float = 10.0, quality: int = 85
+    frames: list[np.ndarray],
+    fps: float = 10.0,
+    quality: int = 85,
+    audio: np.ndarray | None = None,
+    audio_rate: int = 8000,
+    audio_bits: int | str = 16,
 ) -> bytes:
     """List of (H, W, 3) uint8 frames → MJPEG AVI bytes (each frame encoded
-    by the repo's own baseline-JPEG writer). Deterministic fixture generator,
-    same pattern as encode_png/encode_jpeg/encode_wav/encode_gif."""
+    by the repo's own baseline-JPEG writer). Pass `audio` (n_frames, n_ch)
+    float in [-1, 1] to add an auds stream (encoded by encode_wav with
+    `audio_bits` — any WAV-family codec incl. "ulaw"/"adpcm"). Deterministic
+    fixture generator, same pattern as encode_png/encode_jpeg/encode_wav."""
     from .jpeg import encode_jpeg
 
     if not frames:
@@ -141,9 +249,10 @@ def encode_avi_mjpeg(
 
     usec = int(round(1e6 / fps))
     max_bytes = max(len(p) for p in payloads)
+    n_streams = 1 if audio is None else 2
     avih = (
         u32(usec) + u32(int(max_bytes * fps)) + u32(0) + u32(0)  # no idx1 → no AVIF_HASINDEX
-        + u32(len(payloads)) + u32(0) + u32(1) + u32(max_bytes)
+        + u32(len(payloads)) + u32(0) + u32(n_streams) + u32(max_bytes)
         + u32(w) + u32(h) + u32(0) * 4
     )
     strh = (
@@ -156,7 +265,24 @@ def encode_avi_mjpeg(
         u32(40) + u32(w) + u32(h) + u16(1) + u16(24) + b"MJPG"
         + u32(w * h * 3) + u32(0) + u32(0) + u32(0) + u32(0)
     )
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    movi_chunks = b"".join(chunk(b"00dc", p) for p in payloads)
+    if audio is not None:
+        from .wav import encode_wav
+
+        fmt_body, audio_payload = _split_wav(
+            encode_wav(audio, audio_rate, bits=audio_bits)
+        )
+        n_audio_frames = int(np.asarray(audio).shape[0])
+        strh_a = (
+            b"auds" + b"\x00" * 4 + u32(0) + u16(0) + u16(0) + u32(0)
+            + u32(1) + u32(audio_rate)  # dwScale / dwRate
+            + u32(0) + u32(n_audio_frames)  # dwStart / dwLength (sample frames)
+            + u32(len(audio_payload)) + u32(0xFFFFFFFF) + u32(0) + u16(0) * 4
+        )
+        strls += lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", fmt_body))
+        movi_chunks += chunk(b"01wb", audio_payload)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+    movi = lst(b"movi", movi_chunks)
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + u32(len(riff_body)) + riff_body

@@ -60,6 +60,64 @@ class TestContainer:
             encode_avi_mjpeg([_clip(1)[0], _clip(1, h=8, w=8)[0]], 10.0)
 
 
+class TestAudioTrack:
+    """Interleaved `auds` stream: encode_avi_mjpeg(audio=...) ↔ read_avi_audio.
+    The strf body IS a WAVEFORMATEX, so every WAV-family codec rides along."""
+
+    def _tone(self, n=800, rate=8000, ch=1):
+        t = np.arange(n, dtype=np.float64) / rate
+        x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+        return np.stack([x * (1.0 - 0.3 * c) for c in range(ch)], axis=1)
+
+    def test_pcm16_round_trip(self):
+        from osm_data_3d_tiles_spark.functions.avi import read_avi_audio
+
+        audio = self._tone(ch=2)
+        data = encode_avi_mjpeg(_clip(3), fps=10.0, audio=audio, audio_rate=8000)
+        got, rate = read_avi_audio(data)
+        assert rate == 8000 and got.shape == audio.shape
+        assert np.abs(got - audio).max() < 1.0 / 32768.0 + 1e-9
+
+    @pytest.mark.parametrize("bits,tol", [("ulaw", 0.03), ("alaw", 0.03), ("adpcm", 0.05)])
+    def test_compressed_codecs_round_trip(self, bits, tol):
+        from osm_data_3d_tiles_spark.functions.avi import read_avi_audio
+
+        audio = self._tone(n=700)  # deliberately not a multiple of ADPCM block
+        data = encode_avi_mjpeg(
+            _clip(2), fps=10.0, audio=audio, audio_rate=8000, audio_bits=bits
+        )
+        got, rate = read_avi_audio(data)
+        # strh dwLength must trim block padding back to the exact frame count
+        assert rate == 8000 and got.shape == audio.shape
+        assert np.abs(got - audio).max() < tol
+
+    def test_video_unaffected_by_audio_stream(self):
+        frames = _clip(4)
+        silent = encode_avi_mjpeg(frames, fps=10.0)
+        with_audio = encode_avi_mjpeg(frames, fps=10.0, audio=self._tone())
+        a, b = read_avi_mjpeg(silent), read_avi_mjpeg(with_audio)
+        assert a["n_frames"] == b["n_frames"] == 4
+        assert [bytes(f) for f in a["frames"]] == [bytes(f) for f in b["frames"]]
+
+    def test_no_audio_track_raises(self):
+        from osm_data_3d_tiles_spark.functions.avi import read_avi_audio
+
+        with pytest.raises(ValueError, match="no audio track"):
+            read_avi_audio(encode_avi_mjpeg(_clip(2), fps=10.0))
+
+    def test_not_avi_raises(self):
+        from osm_data_3d_tiles_spark.functions.avi import read_avi_audio
+
+        with pytest.raises(ValueError, match="RIFF/AVI"):
+            read_avi_audio(b"\x00" * 32)
+
+    def test_deterministic_bytes_with_audio(self):
+        frames, audio = _clip(2), self._tone(n=160)
+        assert encode_avi_mjpeg(frames, 10.0, audio=audio) == encode_avi_mjpeg(
+            frames, 10.0, audio=audio
+        )
+
+
 class TestSparkVideoStage:
     def test_sample_video_frames_real(self, spark):
         from osm_data_3d_tiles_spark.operators.multimodal import (
