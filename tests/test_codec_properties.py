@@ -168,6 +168,38 @@ class TestAviProperties:
             assert payload == encode_jpeg(orig, quality=85, subsample="420")
             decode_jpeg(payload)  # and they stay decodable
 
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(1, 1200),
+        st.integers(1, 2),
+        st.sampled_from([16, "ulaw", "alaw", "adpcm"]),
+        st.integers(0, 2**31),
+    )
+    def test_audio_track_round_trips_like_bare_wav(self, n, ch, bits, seed):
+        """An auds stream must decode to EXACTLY what the same samples give
+        through the bare WAV codec — the container adds nothing and loses
+        nothing (incl. the dwLength trim of ADPCM block padding)."""
+        from osm_data_3d_tiles_spark.functions.avi import (
+            encode_avi_mjpeg,
+            read_avi_audio,
+        )
+        from osm_data_3d_tiles_spark.functions.wav import decode_wav, encode_wav
+
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        if bits == "adpcm":  # smooth signal inside the step table's range
+            x = np.clip(
+                np.cumsum(rng.uniform(-0.01, 0.01, size=(n, ch)), axis=0), -0.95, 0.95
+            )
+        else:
+            x = rng.uniform(-1, 1, size=(n, ch))
+        frame = np.zeros((8, 8, 3), dtype=np.uint8)
+        got, rate = read_avi_audio(
+            encode_avi_mjpeg([frame], fps=10.0, audio=x, audio_rate=8000, audio_bits=bits)
+        )
+        ref, _ = decode_wav(encode_wav(x, 8000, bits=bits))
+        assert rate == 8000 and got.shape == ref[: len(got)].shape == x.shape
+        assert np.array_equal(got, ref[: len(got)])
+
 
 class TestJpegProperties:
     @settings(max_examples=20, deadline=None)
