@@ -346,22 +346,30 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def decode_audio_real(payload: bytes):
-    """Real audio decode: WAV (RIFF/WAVE, PCM 8/16/24/32 + float32/64) →
-    (frames float64 (n, ch), sample_rate) via the from-scratch numpy reader
-    in functions/wav.py. Compressed formats raise ValueError — wire a codec
-    library here on a real cluster."""
+    """Real audio decode → (frames float64 (n, ch), sample_rate), dispatched
+    by container magic: RIFF/WAVE via functions/wav.py (PCM 8/16/24/32,
+    float32/64, G.711 mu-law/A-law, IMA ADPCM), RIFF/AVI via
+    functions/avi.py::read_avi_audio (the video's auds soundtrack, same codec
+    family). Other formats raise ValueError — wire a codec library here on a
+    real cluster."""
     from ..functions.wav import decode_wav
 
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ..functions.avi import read_avi_audio
+
+        return read_avi_audio(payload)
     return decode_wav(payload)
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+def audio_features(media: DataFrame, kinds: tuple = ("audio",)) -> DataFrame:
     """Per-clip audio features as ONE Arrow stage: kind filter pushed to the
     scan, WAV payloads decode for real (duration/rms/peak/zero-cross over the
-    actual frames), non-WAV or corrupt payloads degrade to a deterministic
-    stub row (decoded=false) instead of failing the stage — the same
-    odd-payload contract as decode_pixels (round-4 ADVICE)."""
-    from ..functions.wav import audio_feature_row, decode_wav
+    actual frames) and AVI payloads yield their auds soundtrack (so
+    kinds=("audio", "video") scores video soundtracks too); other or corrupt
+    payloads degrade to a deterministic stub row (decoded=false) instead of
+    failing the stage — the same odd-payload contract as decode_pixels
+    (round-4 ADVICE)."""
+    from ..functions.wav import audio_feature_row
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -371,7 +379,7 @@ def audio_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = b"" if payload is None else payload
                 try:
-                    samples, rate = decode_wav(payload)
+                    samples, rate = decode_audio_real(payload)
                     row = audio_feature_row(samples, rate)
                     row.update(media_id=mid, n_bytes=len(payload), decoded=True)
                 except Exception:
@@ -389,7 +397,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                 rows.append(row)
             yield pd.DataFrame(rows)[[f.name for f in AUDIO_FEATURES_SCHEMA.fields]]
 
-    clips = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    clips = media.filter(F.col("kind").isin(list(kinds))).select("media_id", "payload")
     return clips.mapInPandas(_extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
@@ -481,10 +489,14 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return clips.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
 
 
-def make_avi_media_fixture(spark, n: int = 6, frames_per_clip: int = 8) -> DataFrame:
+def make_avi_media_fixture(
+    spark, n: int = 6, frames_per_clip: int = 8, with_audio: bool = False
+) -> DataFrame:
     """Media table whose video payloads are REAL MJPEG-AVI bitstreams
     (deterministic moving-gradient frames, each encoded by the repo's own
-    JPEG writer, packed by the repo's own AVI writer)."""
+    JPEG writer, packed by the repo's own AVI writer). with_audio=True
+    interleaves a deterministic sine auds track per clip (codec rotates
+    through PCM16 / mu-law / ADPCM) for the soundtrack-extraction path."""
     from ..functions.avi import encode_avi_mjpeg
 
     rows = []
@@ -499,7 +511,18 @@ def make_avi_media_fixture(spark, n: int = 6, frames_per_clip: int = 8) -> DataF
             img[..., 2] = ((xx + yy + t) * 3) % 256
             frames.append(img)
         fps = (5.0, 10.0, 25.0)[i % 3]
-        payload = encode_avi_mjpeg(frames, fps=fps, quality=85)
+        audio_kwargs = {}
+        if with_audio:
+            n_frames_a = int(8000 * frames_per_clip / fps)
+            ta = np.arange(n_frames_a, dtype=np.float64)
+            audio_kwargs = {
+                "audio": (0.4 * np.sin(2 * np.pi * 220.0 * (1 + i % 4) * ta / 8000.0))[
+                    :, None
+                ],
+                "audio_rate": 8000,
+                "audio_bits": (16, "ulaw", "adpcm")[i % 3],
+            }
+        payload = encode_avi_mjpeg(frames, fps=fps, quality=85, **audio_kwargs)
         duration_ms = int(frames_per_clip * 1000 / fps)
         rows.append((i, "video", bytearray(payload), (w, h, "video/x-msvideo", duration_ms)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -111,6 +111,34 @@ class TestAudioTrack:
         with pytest.raises(ValueError, match="RIFF/AVI"):
             read_avi_audio(b"\x00" * 32)
 
+    def test_soundtrack_extraction_spark_stage(self, spark):
+        """audio_features(kinds=('video',)) scores AVI soundtracks for real —
+        the same feature stage, dispatched by container magic."""
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            audio_features,
+            make_avi_media_fixture,
+        )
+
+        media = make_avi_media_fixture(spark, n=6, frames_per_clip=8, with_audio=True)
+        out = audio_features(media, kinds=("video",)).toPandas()
+        assert len(out) == 6 and out["decoded"].all()
+        assert (out["sample_rate"] == 8000).all()
+        assert (out["rms"] > 0.1).all() and (out["peak"] <= 1.0).all()
+        # fps 5/10/25 with 8 frames each → 1.6/0.8/0.32 s soundtracks
+        assert sorted(round(d, 2) for d in out["duration_s"]) == [
+            0.32, 0.32, 0.8, 0.8, 1.6, 1.6,
+        ]
+
+    def test_silent_video_degrades_not_fails(self, spark):
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            audio_features,
+            make_avi_media_fixture,
+        )
+
+        media = make_avi_media_fixture(spark, n=3, with_audio=False)
+        out = audio_features(media, kinds=("audio", "video")).toPandas()
+        assert len(out) == 3 and (~out["decoded"]).all()
+
     def test_deterministic_bytes_with_audio(self):
         frames, audio = _clip(2), self._tone(n=160)
         assert encode_avi_mjpeg(frames, 10.0, audio=audio) == encode_avi_mjpeg(
