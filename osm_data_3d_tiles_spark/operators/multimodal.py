@@ -94,8 +94,10 @@ def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
     decodes via functions/gif.py::decode_gif (from-scratch LZW; round-5).
     BMP (uncompressed BI_RGB, 8/24/32 bpp) decodes via
     functions/bmp.py::decode_bmp; ICO favicons (PNG or DIB entries) via
-    decode_ico. Remaining formats (WebP/AVIF/…) still raise — wire
-    Pillow/libvips here on a real cluster."""
+    decode_ico; lossless WebP (full VP8L: transforms, color cache, meta
+    prefix groups, LZ77) via functions/webp.py::decode_webp (round-5).
+    Remaining formats (lossy VP8, AVIF, …) still raise — wire Pillow/libvips
+    here on a real cluster."""
     data = bytes(payload)
     if data[:8] == PNG_MAGIC:
         from ..functions.atlas import decode_png
@@ -117,10 +119,14 @@ def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
         from ..functions.bmp import decode_ico
 
         return decode_ico(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from ..functions.webp import decode_webp
+
+        return decode_webp(data)[..., :3]
     raise NotImplementedError(
-        "only PNG, baseline JPEG, GIF, BMP and ICO decode in-sandbox "
-        "(pure-numpy readers); other formats need an imaging library — use "
-        "decode_image_stub for plumbing tests"
+        "only PNG, baseline JPEG, GIF, BMP, ICO and lossless WebP decode "
+        "in-sandbox (pure-numpy readers); other formats need an imaging "
+        "library — use decode_image_stub for plumbing tests"
     )
 
 
@@ -247,21 +253,22 @@ def decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Codec dispatch: PNG, baseline-JPEG, GIF, BMP and ICO payloads decode for REAL
-    (ignoring the declared metadata dims in favor of the bitstream's);
-    everything else falls back to the deterministic stub so other-format
-    plumbing tests keep working.
+    """Codec dispatch: PNG, baseline-JPEG, GIF, BMP, ICO and lossless-WebP
+    payloads decode for REAL (ignoring the declared metadata dims in favor of
+    the bitstream's); everything else falls back to the deterministic stub so
+    other-format plumbing tests keep working.
 
     An unsupported variant (interlaced/non-RGBA8/16-bit PNG, progressive or
     arithmetic JPEG, corrupt stream) also degrades to the stub — one odd
     payload must never fail the whole Arrow stage (round-4 ADVICE)."""
-    head = bytes(payload[:8])
+    head = bytes(payload[:12])
     if (
-        head == PNG_MAGIC
+        head[:8] == PNG_MAGIC
         or head[:3] == JPEG_MAGIC
         or head[:4] == GIF_MAGIC
         or head[:2] == BMP_MAGIC
         or head[:4] == ICO_MAGIC
+        or (head[:4] == b"RIFF" and head[8:12] == b"WEBP")
     ):
         try:
             return decode_image_real(payload)

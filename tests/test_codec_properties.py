@@ -201,6 +201,51 @@ class TestAviProperties:
         assert np.array_equal(got, ref[: len(got)])
 
 
+class TestWebpProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 40),
+        st.integers(1, 40),
+        st.booleans(),
+        st.integers(0, 6),
+        st.booleans(),
+        st.integers(0, 2**31),
+    )
+    def test_round_trip_lossless(self, h, w, sgreen, cache, rle, seed):
+        from osm_data_3d_tiles_spark.functions.webp import decode_webp, encode_webp
+
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        img = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+        data = encode_webp(img, subtract_green=sgreen, cache_bits=cache, rle=rle)
+        assert np.array_equal(decode_webp(data), img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 16), st.integers(1, 20), st.integers(1, 20),
+           st.integers(0, 2**31))
+    def test_palette_round_trip_lossless(self, n_colors, h, w, seed):
+        from osm_data_3d_tiles_spark.functions.webp import decode_webp, encode_webp
+
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        pal = rng.randint(0, 256, (n_colors, 4)).astype(np.uint8)
+        img = pal[rng.randint(0, n_colors, (h, w))]
+        assert np.array_equal(decode_webp(encode_webp(img, use_palette=True)), img)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=300), st.integers(0, 2**31))
+    def test_mutations_never_escape_valueerror(self, blob, seed):
+        from osm_data_3d_tiles_spark.functions.webp import decode_webp, encode_webp
+
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        base = bytearray(encode_webp(rng.randint(0, 256, (6, 7, 3)).astype(np.uint8)))
+        for _ in range(4):
+            base[rng.randint(0, len(base))] = rng.randint(0, 256)
+        for data in (bytes(blob), b"RIFF" + bytes(blob), bytes(base)):
+            try:
+                decode_webp(data)
+            except ValueError:
+                pass
+
+
 class TestJpegProperties:
     @settings(max_examples=20, deadline=None)
     @given(st.integers(8, 40), st.integers(8, 40), st.integers(0, 2**31))
