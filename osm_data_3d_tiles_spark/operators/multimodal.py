@@ -232,6 +232,39 @@ def make_jpeg_media_fixture(spark, n: int = 16) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_webp_media_fixture(spark, n: int = 16) -> DataFrame:
+    """Media table whose image payloads are REAL lossless-WebP (VP8L)
+    bitstreams (deterministic gradients + noise, encoded by the repo's own
+    encoder — functions/webp.py). Rotates through the encoder's stream
+    features (plain literals, subtract-green, color cache, dist-1 runs,
+    palette incl. sub-byte bundling) so the decoder's transform/cache/LZ77
+    paths are all exercised end to end."""
+    from ..functions.webp import encode_webp
+
+    rows = []
+    for i in range(n):
+        w, h = 11 + (i % 5) * 7, 9 + (i % 4) * 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        img[..., 0] = (xx * 255) // max(w - 1, 1)
+        img[..., 1] = (yy * 255) // max(h - 1, 1)
+        img[..., 2] = ((xx * 7 + yy * 13 + i * 31) % 256).astype(np.uint8)
+        kind = i % 5
+        if kind == 4:  # palettized: quantize to ≤16 colors → bundled indices
+            img = (img // 64) * 64 + 32
+            img[..., 2] = img[..., 0]  # collapse to a small color set
+            payload = encode_webp(img, use_palette=True, rle=True)
+        else:
+            payload = encode_webp(
+                img,
+                subtract_green=kind == 1,
+                cache_bits=(0, 0, 5, 8)[kind],
+                rle=kind == 3,
+            )
+        rows.append((i, "image", bytearray(payload), (w, h, "image/webp", None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -63,6 +63,7 @@ from ..operators.dedup import exact_dedup
 DRIVER_WINDOW_PRIORITY = [
     # (a) round-5 additions
     "jpeg_decode_stats",
+    "webp_decode_stats",
     # (b) round-5-changed modules
     "ann_topk",
     "ann_ivf_topk",
@@ -3607,6 +3608,44 @@ def build_rows_only_queries() -> dict:
 
     q["jpeg_decode_stats"] = jpeg_decode_stats
 
+    def webp_decode_stats(spark, sf_dir):
+        """Round-5: REAL lossless-WebP (VP8L) decode in the driver gate — the
+        webp media fixture (real VP8L bitstreams from the repo's own encoder,
+        rotating through subtract-green / color cache / dist-1 runs / bundled
+        palette) through decode_image_real (functions/webp.py: from-scratch
+        prefix codes + transforms + LZ77), per-image integer channel sums.
+        Pinned golden: VP8L is lossless and the codec is deterministic
+        integer math, so any codec regression breaks the value hash."""
+        import pandas as _pd
+
+        from ..operators.multimodal import decode_image_real, make_webp_media_fixture
+
+        media = make_webp_media_fixture(spark, 16)
+
+        def _stats(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows = {"media_id": [], "width": [], "height": [],
+                        "r_sum": [], "g_sum": [], "b_sum": []}
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    img = decode_image_real(bytes(payload))
+                    rows["media_id"].append(int(mid))
+                    rows["height"].append(int(img.shape[0]))
+                    rows["width"].append(int(img.shape[1]))
+                    s = img.astype("int64").sum(axis=(0, 1))
+                    rows["r_sum"].append(int(s[0]))
+                    rows["g_sum"].append(int(s[1]))
+                    rows["b_sum"].append(int(s[2]))
+                yield _pd.DataFrame(rows)
+
+        return media.select("media_id", "payload").mapInPandas(
+            _stats,
+            schema="media_id long, width int, height int, r_sum long, g_sum long, b_sum long",
+        )
+
+    q["webp_decode_stats"] = webp_decode_stats
+
     def quantized_tile_stats(spark, sf_dir):
         """Round-4: the KHR_mesh_quantization sink end-to-end in the driver
         gate — build the 3D tiles, pack each as a quantized GLB, report
@@ -3711,6 +3750,7 @@ GOLDEN_DIR = os.path.join(
 GOLDEN_ORACLE_QUERIES = [
     "png_decode_stats",
     "jpeg_decode_stats",
+    "webp_decode_stats",
     "quantized_tile_stats",
     "flagship_pages_pipeline",
     "dedup_minhash_lsh",

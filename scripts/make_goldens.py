@@ -62,6 +62,8 @@ GOLDEN_QUERIES = [
     "ann_ivf_pq_topk",
     "multimodal_resize",
     "simplify_rings",
+    "jpeg_decode_stats",
+    "webp_decode_stats",
 ]
 
 
