@@ -1820,9 +1820,15 @@ class TestRealPngDecode:
     def test_decode_image_real_unknown_format_raises(self):
         from osm_data_3d_tiles_spark.operators.multimodal import decode_image_real
 
-        # WebP (RIFF) has no in-sandbox decoder → NotImplementedError
+        # a truly unknown format → NotImplementedError
         with pytest.raises(NotImplementedError, match="decode in-sandbox"):
-            decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+            decode_image_real(b"????unknown-format-bytes")
+        # WebP now dispatches to the real VP8L decoder (round-5); a lossy
+        # VP8 payload is refused with ValueError (decode_pixels → stub)
+        with pytest.raises(ValueError, match="lossy VP8|VP8L"):
+            decode_image_real(
+                b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+            )
         # a JPEG-magic payload now dispatches to the real decoder, which
         # refuses garbage with ValueError (decode_pixels degrades to stub)
         with pytest.raises(ValueError):
