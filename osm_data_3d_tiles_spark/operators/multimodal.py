@@ -463,17 +463,22 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """REAL video frame sampling for MJPEG-AVI payloads, one Arrow stage.
+    """REAL video frame sampling for MJPEG-AVI and animated-GIF payloads,
+    one Arrow stage.
 
     The scale property frame_sample_plan documents — "the expensive stage
     only ever sees the frames it must produce" — holds here at the decode
-    level: the container parse locates every frame chunk, but ONLY the
-    sampled timestamps run the JPEG decode, so cost ∝ sampled frames, not
-    clip length. Non-AVI or corrupt payloads degrade to one deterministic
-    stub row (decoded=false) instead of failing the stage."""
+    level. AVI: the container parse locates every frame chunk, but ONLY the
+    sampled timestamps run the JPEG decode (cost ∝ sampled frames, not clip
+    length). GIF: animation compositing is inherently sequential, so the
+    decode is bounded to the PREFIX ending at the last sampled frame
+    (timestamps come from a metadata-only walk first). Other or corrupt
+    payloads degrade to one deterministic stub row (decoded=false) instead
+    of failing the stage."""
     if every_ms < 1:
         raise ValueError(f"every_ms must be >= 1, got {every_ms}")
     from ..functions.avi import read_avi_mjpeg
+    from ..functions.gif import decode_gif_frames, gif_frame_times
     from ..functions.jpeg import decode_jpeg
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -484,6 +489,38 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = b"" if payload is None else payload
                 try:
+                    if bytes(payload[:4]) == GIF_MAGIC:
+                        # instants → nearest frame by actual (variable) GCE
+                        # timestamps; decode only the needed prefix
+                        times = gif_frame_times(payload)
+                        if not times:
+                            raise ValueError("GIF stream has no image frame")
+                        picks = []
+                        for ts in range(0, times[-1] + 1, every_ms):
+                            fi = min(
+                                range(len(times)),
+                                key=lambda k: (abs(times[k] - ts), k),
+                            )
+                            picks.append((ts, fi))
+                        clip = decode_gif_frames(
+                            payload, max_frames=max(fi for _, fi in picks) + 1
+                        )
+                        for ts, fi in picks:
+                            img = clip["frames"][fi][1]
+                            rows.append(
+                                {
+                                    "media_id": mid,
+                                    "frame_index": fi,
+                                    "frame_ts_ms": ts,
+                                    "decoded": True,
+                                    "width": img.shape[1],
+                                    "height": img.shape[0],
+                                    "mean_r": float(img[..., 0].mean()),
+                                    "mean_g": float(img[..., 1].mean()),
+                                    "mean_b": float(img[..., 2].mean()),
+                                }
+                            )
+                        continue
                     clip = read_avi_mjpeg(payload)
                     fps = clip["fps"] or 1.0
                     n = len(clip["frames"])

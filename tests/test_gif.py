@@ -128,6 +128,143 @@ class TestRefusals:
             decode_gif(bytes(data))
 
 
+class TestAnimation:
+    """Full animation semantics: delays, disposal 2/3, transparency,
+    prefix-bounded sampling."""
+
+    def _frames(self, n=4, h=10, w=12):
+        rng = np.random.RandomState(n)
+        pal = (np.arange(6)[:, None] * np.array([40, 80, 20]) % 256).astype(np.uint8)
+        return [pal[rng.randint(0, 6, (h, w))] for _ in range(n)]
+
+    def test_full_frame_animation_round_trip(self):
+        from osm_data_3d_tiles_spark.functions.gif import (
+            decode_gif_frames,
+            encode_gif_animated,
+            gif_frame_times,
+        )
+
+        frames = self._frames(4)
+        delays = [50, 100, 150, 200]
+        clip = decode_gif_frames(encode_gif_animated(frames, delays))
+        assert clip["n_frames"] == 4
+        for (ts, got), want, exp_ts in zip(
+            clip["frames"], frames, [0, 50, 150, 300]
+        ):
+            assert ts == exp_ts
+            assert np.array_equal(got, want)
+        assert gif_frame_times(encode_gif_animated(frames, delays)) == [0, 50, 150, 300]
+
+    def test_zero_delay_uses_100ms_convention(self):
+        from osm_data_3d_tiles_spark.functions.gif import gif_frame_times, encode_gif_animated
+
+        frames = self._frames(3)
+        assert gif_frame_times(encode_gif_animated(frames, 0)) == [0, 100, 200]
+
+    def test_disposal_2_restores_background(self):
+        """Frame 1 is a sub-rect with disposal 2: frame 2's canvas shows the
+        background color where frame 1 painted (computed independently)."""
+        from osm_data_3d_tiles_spark.functions.gif import (
+            decode_gif_frames,
+            encode_gif_animated,
+        )
+
+        # background = palette index 0 = lexicographically smallest color =
+        # (10,10,10), DISTINCT from both the patch (200) and base-after-patch
+        # alternatives, so this discriminates disposal 2 from 0/1 AND from 3
+        base = np.full((8, 8, 3), 60, np.uint8)
+        base[0, 0] = (10, 10, 10)  # forces bg color into the palette head
+        patch = np.full((3, 3, 3), 200, np.uint8)
+        tpix = np.full((2, 2, 3), 90, np.uint8)  # small frame 2
+        data = encode_gif_animated(
+            [base, patch, tpix],
+            delays_ms=100,
+            offsets=[(0, 0), (2, 2), (6, 6)],
+            disposals=[0, 2, 0],
+        )
+        clip = decode_gif_frames(data)
+        f1 = clip["frames"][1][1]
+        assert (f1[2:5, 2:5] == 200).all() and f1[1, 1, 0] == 60
+        f2 = clip["frames"][2][1]
+        assert (f2[2:5, 2:5] == 10).all()  # restored to background, not left
+        assert (f2[6:8, 6:8] == 90).all()
+        assert f2[1, 1, 0] == 60  # untouched area still frame-0 pixels
+
+    def test_disposal_3_restores_previous(self):
+        from osm_data_3d_tiles_spark.functions.gif import (
+            decode_gif_frames,
+            encode_gif_animated,
+        )
+
+        base = np.full((6, 6, 3), 200, np.uint8)
+        patch = np.full((2, 2, 3), 50, np.uint8)
+        tail = np.full((1, 1, 3), 90, np.uint8)
+        clip = decode_gif_frames(
+            encode_gif_animated(
+                [base, patch, tail],
+                delays_ms=100,
+                offsets=[(0, 0), (1, 1), (5, 5)],
+                disposals=[0, 3, 0],
+            )
+        )
+        f2 = clip["frames"][2][1]
+        assert (f2[1:3, 1:3] == 200).all()  # patch undone
+        assert (f2[5, 5] == 90).all()
+
+    def test_transparency_leaves_previous_canvas(self):
+        from osm_data_3d_tiles_spark.functions.gif import (
+            decode_gif_frames,
+            encode_gif_animated,
+        )
+
+        base = np.full((4, 4, 3), 200, np.uint8)
+        overlay = np.full((4, 4, 3), 0, np.uint8)
+        overlay[:2] = (50, 50, 50)  # bottom half = transparent color
+        clip = decode_gif_frames(
+            encode_gif_animated([base, overlay], 100, transparent_rgb=(0, 0, 0))
+        )
+        f1 = clip["frames"][1][1]
+        assert (f1[:2] == 50).all()
+        assert (f1[2:] == 200).all()  # transparent pixels kept the base
+
+    def test_first_frame_contract_unchanged(self):
+        from osm_data_3d_tiles_spark.functions.gif import decode_gif
+
+        frames = self._frames(3)
+        data_anim = __import__(
+            "osm_data_3d_tiles_spark.functions.gif", fromlist=["encode_gif_animated"]
+        ).encode_gif_animated(frames, 100)
+        assert np.array_equal(decode_gif(data_anim), frames[0])
+
+    def test_sample_video_frames_animated_gif(self, spark):
+        """Animated GIFs ride the video sampling stage: variable delays →
+        nearest-frame picks at every_ms instants."""
+        from osm_data_3d_tiles_spark.functions.gif import encode_gif_animated
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            sample_video_frames,
+        )
+
+        frames = self._frames(5, h=8, w=8)
+        rows = [
+            (0, "video", bytearray(encode_gif_animated(frames, 200)),
+             (8, 8, "image/gif", 1000)),
+            (1, "video", bytearray(encode_gif_animated(frames, [100, 50, 50, 100, 200])),
+             (8, 8, "image/gif", 500)),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = sample_video_frames(media, every_ms=200).toPandas()
+        assert out["decoded"].all()
+        c0 = out[out["media_id"] == 0]
+        # clip 0: frames at 0/200/400/600/800 → instants 0..800 step 200
+        assert sorted(c0["frame_ts_ms"]) == [0, 200, 400, 600, 800]
+        assert sorted(c0["frame_index"]) == [0, 1, 2, 3, 4]
+        c1 = out[out["media_id"] == 1]
+        # clip 1 timestamps: 0,100,150,200,300 → instants 0/200; nearest = 0,3
+        assert sorted(c1["frame_ts_ms"]) == [0, 200]
+        assert sorted(c1["frame_index"]) == [0, 3]
+
+
 class TestDispatch:
     def test_decode_image_real_gif(self):
         from osm_data_3d_tiles_spark.operators.multimodal import decode_image_real
