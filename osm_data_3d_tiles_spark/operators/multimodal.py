@@ -463,15 +463,15 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """REAL video frame sampling for MJPEG-AVI and animated-GIF payloads,
-    one Arrow stage.
+    """REAL video frame sampling for MJPEG-AVI, animated-GIF and
+    animated-WebP payloads, one Arrow stage.
 
     The scale property frame_sample_plan documents — "the expensive stage
     only ever sees the frames it must produce" — holds here at the decode
     level. AVI: the container parse locates every frame chunk, but ONLY the
     sampled timestamps run the JPEG decode (cost ∝ sampled frames, not clip
-    length). GIF: animation compositing is inherently sequential, so the
-    decode is bounded to the PREFIX ending at the last sampled frame
+    length). GIF/WebP: animation compositing is inherently sequential, so
+    the decode is bounded to the PREFIX ending at the last sampled frame
     (timestamps come from a metadata-only walk first). Other or corrupt
     payloads degrade to one deterministic stub row (decoded=false) instead
     of failing the stage."""
@@ -480,6 +480,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     from ..functions.avi import read_avi_mjpeg
     from ..functions.gif import decode_gif_frames, gif_frame_times
     from ..functions.jpeg import decode_jpeg
+    from ..functions.webp import decode_webp_frames, webp_frame_times, webp_is_animated
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -489,12 +490,22 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = b"" if payload is None else payload
                 try:
-                    if bytes(payload[:4]) == GIF_MAGIC:
-                        # instants → nearest frame by actual (variable) GCE
-                        # timestamps; decode only the needed prefix
-                        times = gif_frame_times(payload)
+                    head = bytes(payload[:12])
+                    anim = None  # (frame_times_fn, prefix_decode_fn)
+                    if head[:4] == GIF_MAGIC:
+                        anim = (gif_frame_times, decode_gif_frames)
+                    elif head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+                        if not webp_is_animated(payload):
+                            raise ValueError("still WebP is not a video clip")
+                        anim = (webp_frame_times, decode_webp_frames)
+                    if anim is not None:
+                        # instants → nearest frame by the actual (variable)
+                        # per-frame timestamps from a metadata-only walk;
+                        # compositing decode is bounded to the needed prefix
+                        times_fn, frames_fn = anim
+                        times = times_fn(payload)
                         if not times:
-                            raise ValueError("GIF stream has no image frame")
+                            raise ValueError("animation has no frames")
                         picks = []
                         for ts in range(0, times[-1] + 1, every_ms):
                             fi = min(
@@ -502,7 +513,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                                 key=lambda k: (abs(times[k] - ts), k),
                             )
                             picks.append((ts, fi))
-                        clip = decode_gif_frames(
+                        clip = frames_fn(
                             payload, max_frames=max(fi for _, fi in picks) + 1
                         )
                         for ts, fi in picks:

@@ -310,6 +310,144 @@ class TestHandCraftedStreams:
             assert flat_red[i] == flat_red[src_of(i, w)], (dist_code, i)
 
 
+class TestAnimation:
+    """VP8X/ANIM/ANMF: compositing (blend + dispose), timestamps, sampling."""
+
+    def _frames(self, n=4, h=10, w=12, seed=3):
+        rng = np.random.RandomState(seed)
+        return [rng.randint(0, 256, (h, w, 4)).astype(np.uint8) for _ in range(n)]
+
+    def test_full_frame_round_trip_and_times(self):
+        from osm_data_3d_tiles_spark.functions.webp import (
+            decode_webp_frames,
+            encode_webp_animated,
+            webp_frame_times,
+            webp_is_animated,
+        )
+
+        frames = self._frames(4)
+        data = encode_webp_animated(frames, [50, 100, 150, 200])
+        assert webp_is_animated(data)
+        assert webp_frame_times(data) == [0, 50, 150, 300]
+        clip = decode_webp_frames(data)
+        assert clip["n_frames"] == 4
+        for (ts, got), want, ets in zip(clip["frames"], frames, [0, 50, 150, 300]):
+            assert ts == ets and np.array_equal(got, want)
+
+    def test_zero_duration_uses_100ms_convention(self):
+        from osm_data_3d_tiles_spark.functions.webp import (
+            encode_webp_animated,
+            webp_frame_times,
+        )
+
+        assert webp_frame_times(encode_webp_animated(self._frames(3), 0)) == [
+            0, 100, 200,
+        ]
+
+    def test_first_frame_contract(self):
+        from osm_data_3d_tiles_spark.functions.webp import encode_webp_animated
+
+        frames = self._frames(3)
+        assert np.array_equal(
+            decode_webp(encode_webp_animated(frames, 100)), frames[0]
+        )
+
+    def test_dispose_to_background(self):
+        from osm_data_3d_tiles_spark.functions.webp import (
+            decode_webp_frames,
+            encode_webp_animated,
+        )
+
+        base = np.full((8, 8, 4), 200, np.uint8)
+        patch = np.full((4, 4, 4), 50, np.uint8)
+        tail = np.full((2, 2, 4), 90, np.uint8)
+        clip = decode_webp_frames(
+            encode_webp_animated(
+                [base, patch, tail], 100,
+                offsets=[(0, 0), (2, 2), (6, 6)],
+                disposes=[False, True, False],
+            )
+        )
+        f1, f2 = clip["frames"][1][1], clip["frames"][2][1]
+        assert (f1[2:6, 2:6, :3] == 50).all() and f1[0, 0, 0] == 200
+        assert (f2[2:6, 2:6] == 0).all()  # transparent black, not left
+        assert (f2[6:8, 6:8, :3] == 90).all() and f2[0, 0, 0] == 200
+
+    def test_alpha_blend_matches_spec_integer_formula(self):
+        from osm_data_3d_tiles_spark.functions.webp import (
+            decode_webp_frames,
+            encode_webp_animated,
+        )
+
+        base = np.full((6, 6, 4), 200, np.uint8)
+        base[..., 3] = 255
+        overlay = np.zeros((6, 6, 4), np.uint8)
+        overlay[..., :3] = 100
+        overlay[..., 3] = 128
+        got = decode_webp_frames(
+            encode_webp_animated([base, overlay], 100, blends=[False, True])
+        )["frames"][1][1]
+        sa, da = 128, 255
+        oa = sa + da * (255 - sa) // 255
+        w_dst = da * (255 - sa) // 255
+        exp_rgb = (100 * sa + 200 * w_dst) // oa
+        assert (got[..., 3] == oa).all() and (got[..., :3] == exp_rgb).all()
+
+    def test_no_blend_replaces_including_alpha(self):
+        from osm_data_3d_tiles_spark.functions.webp import (
+            decode_webp_frames,
+            encode_webp_animated,
+        )
+
+        base = np.full((4, 4, 4), 200, np.uint8)
+        overlay = np.zeros((4, 4, 4), np.uint8)
+        overlay[..., :3] = 100
+        overlay[..., 3] = 128
+        got = decode_webp_frames(
+            encode_webp_animated([base, overlay], 100, blends=[False, False])
+        )["frames"][1][1]
+        assert (got[..., 3] == 128).all() and (got[..., :3] == 100).all()
+
+    def test_odd_offset_rejected(self):
+        from osm_data_3d_tiles_spark.functions.webp import encode_webp_animated
+
+        with pytest.raises(ValueError, match="even"):
+            encode_webp_animated(
+                [np.zeros((4, 4, 4), np.uint8), np.zeros((2, 2, 4), np.uint8)],
+                100, offsets=[(0, 0), (1, 0)],
+            )
+
+    def test_sample_video_frames_animated_webp(self, spark):
+        from osm_data_3d_tiles_spark.functions.webp import encode_webp_animated
+        from osm_data_3d_tiles_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            sample_video_frames,
+        )
+
+        frames = self._frames(5, h=8, w=8)
+        rows = [
+            (0, "video", bytearray(encode_webp_animated(frames, 200)),
+             (8, 8, "image/webp", 1000)),
+            (1, "video",
+             bytearray(encode_webp_animated(frames, [100, 50, 50, 100, 200])),
+             (8, 8, "image/webp", 500)),
+            (2, "video", bytearray(encode_webp(frames[0])),  # still → stub
+             (8, 8, "image/webp", None)),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = sample_video_frames(media, every_ms=200).toPandas()
+        c0 = out[out["media_id"] == 0]
+        assert c0["decoded"].all()
+        assert sorted(c0["frame_ts_ms"]) == [0, 200, 400, 600, 800]
+        assert sorted(c0["frame_index"]) == [0, 1, 2, 3, 4]
+        c1 = out[out["media_id"] == 1]
+        # timestamps 0,100,150,200,300 → instants 0/200 → frames 0, 3
+        assert sorted(c1["frame_ts_ms"]) == [0, 200]
+        assert sorted(c1["frame_index"]) == [0, 3]
+        c2 = out[out["media_id"] == 2]
+        assert len(c2) == 1 and not c2["decoded"].iloc[0]
+
+
 class TestSparkStage:
     def test_resize_images_real_webp_path(self, spark):
         """WebP payloads decode FOR REAL through the resize Arrow stage —
