@@ -95,9 +95,11 @@ def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
     BMP (uncompressed BI_RGB, 8/24/32 bpp) decodes via
     functions/bmp.py::decode_bmp; ICO favicons (PNG or DIB entries) via
     decode_ico; lossless WebP (full VP8L: transforms, color cache, meta
-    prefix groups, LZ77) via functions/webp.py::decode_webp (round-5).
-    Remaining formats (lossy VP8, AVIF, …) still raise — wire Pillow/libvips
-    here on a real cluster."""
+    prefix groups, LZ77; animated files yield the first composited frame)
+    via functions/webp.py::decode_webp (round-5); baseline TIFF (strips,
+    none/LZW/PackBits, predictor 2, gray/palette/RGB/RGBA, both endians) via
+    functions/tiff.py::decode_tiff (round-5). Remaining formats (lossy VP8,
+    AVIF, …) still raise — wire Pillow/libvips here on a real cluster."""
     data = bytes(payload)
     if data[:8] == PNG_MAGIC:
         from ..functions.atlas import decode_png
@@ -123,6 +125,10 @@ def decode_image_real(payload: bytes, meta: dict | None = None) -> np.ndarray:
         from ..functions.webp import decode_webp
 
         return decode_webp(data)[..., :3]
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..functions.tiff import decode_tiff
+
+        return decode_tiff(data)[..., :3]
     raise NotImplementedError(
         "only PNG, baseline JPEG, GIF, BMP, ICO and lossless WebP decode "
         "in-sandbox (pure-numpy readers); other formats need an imaging "
@@ -286,10 +292,10 @@ def decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Codec dispatch: PNG, baseline-JPEG, GIF, BMP, ICO and lossless-WebP
-    payloads decode for REAL (ignoring the declared metadata dims in favor of
-    the bitstream's); everything else falls back to the deterministic stub so
-    other-format plumbing tests keep working.
+    """Codec dispatch: PNG, baseline-JPEG, GIF, BMP, ICO, lossless-WebP and
+    baseline-TIFF payloads decode for REAL (ignoring the declared metadata
+    dims in favor of the bitstream's); everything else falls back to the
+    deterministic stub so other-format plumbing tests keep working.
 
     An unsupported variant (interlaced/non-RGBA8/16-bit PNG, progressive or
     arithmetic JPEG, corrupt stream) also degrades to the stub — one odd
@@ -302,6 +308,7 @@ def decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
         or head[:2] == BMP_MAGIC
         or head[:4] == ICO_MAGIC
         or (head[:4] == b"RIFF" and head[8:12] == b"WEBP")
+        or head[:4] in (b"II*\x00", b"MM\x00*")
     ):
         try:
             return decode_image_real(payload)

@@ -246,6 +246,48 @@ class TestWebpProperties:
                 pass
 
 
+class TestTiffProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 40),
+        st.integers(1, 40),
+        st.sampled_from([1, 3, 4]),
+        st.sampled_from(["none", "lzw", "packbits"]),
+        st.booleans(),
+        st.integers(1, 16),
+        st.integers(0, 2**31),
+    )
+    def test_round_trip_lossless(self, h, w, ch, comp, big_endian, rps, seed):
+        from osm_data_3d_tiles_spark.functions.tiff import decode_tiff, encode_tiff
+
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        img = rng.randint(0, 256, (h, w) if ch == 1 else (h, w, ch)).astype(np.uint8)
+        data = encode_tiff(
+            img, compression=comp, big_endian=big_endian, rows_per_strip=rps,
+            predictor=(comp == "lzw" and seed % 2 == 0),
+        )
+        exp = img if img.ndim == 3 else np.repeat(img[..., None], 3, axis=-1)
+        assert np.array_equal(decode_tiff(data), exp)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=300), st.integers(0, 2**31))
+    def test_mutations_never_escape_valueerror(self, blob, seed):
+        from osm_data_3d_tiles_spark.functions.tiff import decode_tiff, encode_tiff
+
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        base = bytearray(
+            encode_tiff(rng.randint(0, 256, (6, 7, 3)).astype(np.uint8),
+                        compression="lzw")
+        )
+        for _ in range(4):
+            base[rng.randint(0, len(base))] = rng.randint(0, 256)
+        for data in (bytes(blob), b"II*\x00" + bytes(blob), bytes(base)):
+            try:
+                decode_tiff(data)
+            except ValueError:
+                pass
+
+
 class TestJpegProperties:
     @settings(max_examples=20, deadline=None)
     @given(st.integers(8, 40), st.integers(8, 40), st.integers(0, 2**31))
