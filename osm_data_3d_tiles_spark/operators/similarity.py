@@ -508,3 +508,105 @@ def ann_ivf_pq_topk(
     )
     # rerank input is ≤ refine·k rows per query, so the window input is tiny
     return _global_topk(rerank, query_id_col, id_col, "cosine", k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via k-means + intra-cluster cosine
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication") — k-means cluster the embedding
+    space, then deduplicate WITHIN each cluster: a point is a semantic
+    duplicate if its cosine similarity to any point ahead of it in the
+    cluster's keep order exceeds `threshold`. Following the paper, the keep
+    order puts the example with the LOWEST similarity to the cluster centroid
+    first (ties broken by id, so the pass is fully deterministic), and a
+    point is removed if it is `threshold`-similar to ANY earlier point —
+    the published implementation's upper-triangular max over the sorted
+    intra-cluster similarity matrix, not a kept-set scan.
+
+    Scale shape:
+    - Clustering reuses the IVF machinery: centroids trained driver-side on a
+      deterministic 4096-row sample, assignment is the zero-shuffle Arrow
+      argmax of `_assign_lists`; float32 unit storage as on the ANN scan path.
+    - The ONLY shuffle is the groupBy(list_id) that co-locates each cluster
+      for its greedy pass (one Arrow stage per cluster, `applyInPandas`).
+    - The intra-cluster pass is the paper's O(|cluster|²/2) similarity
+      triangle, computed BLOCKED (1024-row tiles against the prefix matrix)
+      so peak memory is 1024·|cluster| floats, not |cluster|²; |cluster| is
+      ~corpus/n_clusters — n_clusters is the knob that caps per-task cost,
+      and `max_cluster` fails fast (with the skew-handling hint) instead of
+      letting one hot cluster run quadratic and OOM a 100-TB job.
+
+    Returns one row per input vector (NaN/zero vectors excluded at source,
+    as everywhere on the ANN path): (id_col, list_id, cent_sim, is_kept).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    spark = embeddings.sparkSession
+    base = _register_persist(_drop_nan_units(embeddings.select(
+        F.col(id_col),
+        _unit_col(F.col(vec_col).cast("array<double>")).cast("array<float>").alias("unit"),
+    ), "unit").persist())
+    sample = base.orderBy(F.xxhash64(F.col(id_col).cast("string"))).limit(4096).toPandas()
+    if not len(sample):
+        return spark.createDataFrame([], schema=T.StructType([
+            base.schema[id_col],
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("cent_sim", T.DoubleType()),
+            T.StructField("is_kept", T.BooleanType()),
+        ]))
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["unit"]])
+    cents = _deterministic_centroids(mat, sample[id_col].to_numpy(), n_clusters)
+    assigned = _assign_lists(base, cents, id_col)
+    bc_cents = spark.sparkContext.broadcast(np.ascontiguousarray(cents, dtype=np.float64))
+
+    out_schema = T.StructType([
+        base.schema[id_col],
+        T.StructField("list_id", T.IntegerType()),
+        T.StructField("cent_sim", T.DoubleType()),
+        T.StructField("is_kept", T.BooleanType()),
+    ])
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cluster:
+            raise ValueError(
+                f"semdedup cluster {int(pdf['list_id'].iloc[0])} holds {n} vectors"
+                f" > max_cluster={max_cluster}; raise n_clusters (splits hot"
+                f" clusters) or max_cluster if the quadratic pass is intended"
+            )
+        u = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["unit"]])
+        cent = bc_cents.value[int(pdf["list_id"].iloc[0])]
+        cent_sim = u @ cent
+        order = np.lexsort((pdf[id_col].to_numpy(), cent_sim))  # cent_sim asc, id asc
+        u = u[order]
+        removed = np.zeros(n, dtype=bool)
+        # blocked upper-triangular max: tile i compares against ALL prior rows
+        block = 1024
+        for s in range(1, n, block):
+            e = min(s + block, n)
+            tile = u[s:e] @ u[:e].T  # (e-s, e)
+            # strict prefix only: mask j >= i within the tile
+            for r in range(e - s):
+                i = s + r
+                if tile[r, :i].size and tile[r, :i].max() >= threshold:
+                    removed[i] = True
+        res = pd.DataFrame({
+            id_col: pdf[id_col].to_numpy()[order],
+            "list_id": pdf["list_id"].to_numpy()[order],
+            "cent_sim": cent_sim[order],
+            "is_kept": ~removed,
+        })
+        return res
+
+    return assigned.groupBy("list_id").applyInPandas(_greedy, schema=out_schema)

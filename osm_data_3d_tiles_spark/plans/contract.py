@@ -62,6 +62,8 @@ from ..operators.dedup import exact_dedup
 #       freshness table in BASELINE.md records exactly which).
 DRIVER_WINDOW_PRIORITY = [
     # (a) round-5 additions
+    "dedup_exact_substring",
+    "semdedup",
     "jpeg_decode_stats",
     "webp_decode_stats",
     # (b) round-5-changed modules
@@ -2739,6 +2741,46 @@ def build_webtext_queries() -> dict:
         """,
     )
 
+    def substring_spans(spark, sf_dir):
+        """Suffix-array-style exact substring dedup (Lee et al. 2021)
+        re-expressed scale-safe: content-defined md5-prefix window sampling
+        (winnowing-flavored, offset-independent), whole-stage-codegen HOF
+        extraction (the window text never leaves the stage — only 32-char
+        md5 anchors shuffle), then anchor-keyed aggregation. The oracle
+        states the identical semantics over ALL windows with the same md5
+        sample predicate — md5 is the one hash both engines share bit-for-bit."""
+        from ..operators.dedup import exact_substring_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return exact_substring_spans(docs, window=40, sample_hex_prefix="0")
+
+    q["dedup_exact_substring"] = (
+        substring_spans,
+        """
+        WITH w AS (
+            SELECT doc_id, md5(win) AS wkey
+            FROM (
+                SELECT doc_id, substr(text, i, 40) AS win
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+                WHERE length(text) >= 40
+            )
+            WHERE substr(md5(win), 1, 1) = '0'
+        ),
+        per_doc AS (
+            SELECT doc_id, wkey, COUNT(*) AS n_occ FROM w GROUP BY doc_id, wkey
+        ),
+        anchors AS (
+            SELECT wkey FROM per_doc GROUP BY wkey HAVING COUNT(*) >= 2
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_dup_windows,
+               CAST(SUM(n_occ) AS BIGINT) AS n_dup_occurrences
+        FROM per_doc JOIN anchors USING (wkey)
+        GROUP BY doc_id
+        """,
+    )
+
     # ---- 3D construction: per-building surface metrics through the REAL roof +
     # walls kernels (flat default path); the oracle states the closed-form areas
     # for axis-aligned rectangles ------------------------------------------------
@@ -3408,6 +3450,35 @@ def build_rows_only_queries() -> dict:
 
     q["ann_ivf_pq_topk"] = ann_ivf_pq
 
+    def semdedup_q(spark, sf_dir):
+        """SemDeDup (Abbas et al. 2023): k-means + intra-cluster greedy cosine
+        dedup keeping the lowest-centroid-similarity example. Same planted
+        near-dup fixture as dedup_embedding_cosine (perturbed copies of the
+        first 25 vectors at cosine ≈0.9998) so the removal path is exercised:
+        exactly one of each planted pair survives. k-means assignment is not
+        ANSI-SQL-statable → golden oracle; the keep-rule semantics ride the
+        pytest parity gate against a plain-Python reference."""
+        from ..operators.similarity import semdedup
+
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") < 500)
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        )
+        pert = emb.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1) * F.lit(1.02)),
+                F.slice("embedding", 2, F.size("embedding") - 1),
+            ).alias("embedding"),
+        )
+        out = semdedup(emb.unionByName(pert), threshold=0.9, n_clusters=16)
+        return out.select(
+            "vec_id", "list_id", F.round("cent_sim", 6).alias("cent_sim"), "is_kept"
+        )
+
+    q["semdedup"] = semdedup_q
+
     def langid_ngram(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return with_lang_id(docs).select("doc_id", "predicted_lang")
@@ -3748,6 +3819,7 @@ GOLDEN_DIR = os.path.join(
 # The golden pins determinism + regressions; semantic correctness rides pytest
 # (planted-pair dedup tests, IVF recall gates, MVT round-trip, component oracles).
 GOLDEN_ORACLE_QUERIES = [
+    "semdedup",
     "png_decode_stats",
     "jpeg_decode_stats",
     "webp_decode_stats",

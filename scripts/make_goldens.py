@@ -45,6 +45,7 @@ SF_DIRS = os.environ.get(
 
 # every deterministic rows-only query (plans/contract.py build_rows_only_queries)
 GOLDEN_QUERIES = [
+    "semdedup",
     "png_decode_stats",
     "quantized_tile_stats",
     "flagship_pages_pipeline",

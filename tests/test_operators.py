@@ -1970,3 +1970,169 @@ class TestRound4ReviewFixes:
             "ring_types": ["outer", "inner"],
         })
         assert faces2 is not None and len(faces2) == 8
+
+
+class TestExactSubstringDedup:
+    """exact_substring_spans — suffix-array-style dedup (Lee et al. 2021)
+    via content-defined md5-prefix window sampling (operators/dedup.py)."""
+
+    @staticmethod
+    def _python_reference(rows, window=40, prefix="0"):
+        """Plain-Python restatement of the semantics over ALL windows."""
+        import hashlib
+        from collections import Counter, defaultdict
+
+        per_doc: dict = defaultdict(Counter)
+        for doc_id, text in rows:
+            for i in range(len(text) - window + 1):
+                win = text[i : i + window]
+                h = hashlib.md5(win.encode()).hexdigest()
+                if h.startswith(prefix):
+                    per_doc[doc_id][h] += 1
+        docs_per_key: Counter = Counter()
+        for doc_id, keys in per_doc.items():
+            for k in keys:
+                docs_per_key[k] += 1
+        dup_keys = {k for k, n in docs_per_key.items() if n >= 2}
+        out = {}
+        for doc_id, keys in per_doc.items():
+            hit = {k: c for k, c in keys.items() if k in dup_keys}
+            if hit:
+                out[doc_id] = (len(hit), sum(hit.values()))
+        return out
+
+    def test_planted_span_found_offset_independently(self, spark):
+        # the shared 200-char span sits at offset 0 in doc 1 and offset 57 in
+        # doc 2 — content-defined sampling must pick the SAME anchors in both
+        span = " ".join(f"tok{i % 23}word{i % 7}" for i in range(24))[:200]
+        rows = [
+            (1, span + " unique tail one " + "x" * 30),
+            (2, "an unrelated fifty-seven character prefix padding here! " + span),
+            (3, "completely different text with no shared windows at all " + "y" * 160),
+        ]
+        expected = self._python_reference(rows)
+        assert set(expected) == {1, 2}, "fixture must plant a cross-doc span"
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from osm_data_3d_tiles_spark.operators.dedup import exact_substring_spans
+
+        got = exact_substring_spans(df).toPandas().set_index("doc_id")
+        assert set(got.index) == set(expected)
+        for doc_id, (nw, nocc) in expected.items():
+            assert got.loc[doc_id, "n_dup_windows"] == nw
+            assert got.loc[doc_id, "n_dup_occurrences"] == nocc
+
+    def test_matches_python_reference_on_random_corpus(self, spark):
+        rng = np.random.default_rng(42)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+        rows = []
+        for doc_id in range(40):
+            n = int(rng.integers(20, 60))
+            rows.append((doc_id, " ".join(rng.choice(vocab, n))))
+        expected = self._python_reference(rows)
+        assert expected, "random small-vocab corpus should contain dup windows"
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from osm_data_3d_tiles_spark.operators.dedup import exact_substring_spans
+
+        got = exact_substring_spans(df).toPandas().set_index("doc_id")
+        assert set(got.index) == set(expected)
+        for doc_id, (nw, nocc) in expected.items():
+            assert got.loc[doc_id, "n_dup_windows"] == nw
+            assert got.loc[doc_id, "n_dup_occurrences"] == nocc
+
+    def test_short_docs_and_bad_prefix(self, spark):
+        from osm_data_3d_tiles_spark.operators.dedup import exact_substring_spans
+
+        df = spark.createDataFrame([(1, "short"), (2, "short")], ["doc_id", "text"])
+        assert exact_substring_spans(df).count() == 0  # both below the window
+        with pytest.raises(ValueError):
+            exact_substring_spans(df, sample_hex_prefix="G")
+        with pytest.raises(ValueError):
+            exact_substring_spans(df, sample_hex_prefix="")
+
+
+class TestSemDeDup:
+    """semdedup — SemDeDup (Abbas et al. 2023) k-means + intra-cluster greedy
+    cosine dedup (operators/similarity.py)."""
+
+    @staticmethod
+    def _python_reference(ids, vecs, threshold, n_clusters):
+        """Plain-Python restatement: same deterministic centroids, same
+        keep-lowest-centroid-similarity order, same upper-triangular rule."""
+        from osm_data_3d_tiles_spark.operators.similarity import (
+            _deterministic_centroids,
+        )
+
+        ids = np.asarray(ids)
+        u = np.vstack(vecs).astype(np.float64)
+        u = u / np.linalg.norm(u, axis=1, keepdims=True)
+        # the operator STORES units as float32 (ANN scan-path convention) and
+        # upcasts for scoring — replicate the narrowing round-trip exactly
+        u = u.astype(np.float32).astype(np.float64)
+        # centroid training sample: xxhash order — replicate by training on
+        # everything when n <= 4096 is NOT the operator's sample order, so the
+        # reference instead receives the operator's own centroids via the
+        # caller; here we re-train on the full (sorted-by-id) set, which is
+        # identical when the corpus fits one sample (the operator's
+        # _deterministic_centroids sorts by id internally).
+        cents = _deterministic_centroids(u, ids, n_clusters)
+        assign = np.argmax(u @ cents.T, axis=1)
+        out = {}
+        for c in range(len(cents)):
+            m = np.where(assign == c)[0]
+            if not len(m):
+                continue
+            cs = u[m] @ cents[c]
+            order = np.lexsort((ids[m], cs))
+            mi, csi = m[order], cs[order]
+            removed = np.zeros(len(mi), dtype=bool)
+            for i in range(1, len(mi)):
+                if (u[mi[i]] @ u[mi[:i]].T).max() >= threshold:
+                    removed[i] = True
+            for j, idx in enumerate(mi):
+                out[int(ids[idx])] = (c, float(csi[j]), not removed[j])
+        return out
+
+    def test_matches_python_reference(self, spark):
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(60, 16))
+        # plant 10 near-duplicates: tiny perturbations of the first 10 rows
+        dups = base[:10] + rng.normal(scale=1e-3, size=(10, 16))
+        vecs = np.vstack([base, dups])
+        ids = np.arange(70)
+        expected = self._python_reference(ids, vecs, threshold=0.95, n_clusters=4)
+        assert sum(1 for _, (_, _, kept) in expected.items() if not kept) >= 10
+        from osm_data_3d_tiles_spark.operators.similarity import semdedup
+
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+            ["vec_id", "embedding"],
+        )
+        got = semdedup(df, threshold=0.95, n_clusters=4).toPandas().set_index("vec_id")
+        assert len(got) == len(expected)
+        for vid, (lid, cs, kept) in expected.items():
+            assert got.loc[vid, "list_id"] == lid
+            assert abs(got.loc[vid, "cent_sim"] - cs) < 1e-9
+            assert bool(got.loc[vid, "is_kept"]) == kept
+
+    def test_planted_pair_keeps_exactly_one(self, spark):
+        from osm_data_3d_tiles_spark.operators.similarity import semdedup
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(30, 8))
+        rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+        rows += [(100 + i, [float(x) for x in base[i]]) for i in range(5)]  # exact copies
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = semdedup(df, threshold=0.999, n_clusters=2).toPandas()
+        for i in range(5):
+            pair = out[out.vec_id.isin([i, 100 + i])]
+            assert pair.is_kept.sum() == 1  # exactly one copy survives
+
+    def test_guards(self, spark):
+        from osm_data_3d_tiles_spark.operators.similarity import semdedup
+
+        df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+        with pytest.raises(ValueError):
+            semdedup(df, threshold=0.0)
+        with pytest.raises(Exception, match="max_cluster"):
+            semdedup(df.unionByName(df.select((F.col("vec_id") + 1).alias("vec_id"), "embedding")),
+                     n_clusters=1, max_cluster=1).collect()
