@@ -64,6 +64,7 @@ DRIVER_WINDOW_PRIORITY = [
     # (a) round-5 additions
     "dedup_exact_substring",
     "semdedup",
+    "bpe_merges",
     "jpeg_decode_stats",
     "webp_decode_stats",
     # (b) round-5-changed modules
@@ -3450,6 +3451,20 @@ def build_rows_only_queries() -> dict:
 
     q["ann_ivf_pq_topk"] = ann_ivf_pq
 
+    def bpe_merges_q(spark, sf_dir):
+        """Distributed BPE vocabulary learning (Sennrich et al. 2016,
+        operators/bpe.py): 12 merge rules over the documents corpus. The
+        merge order is inherently sequential (each rule conditions on all
+        prior rewrites) so no ANSI-SQL statement exists → golden oracle;
+        exact-semantics parity vs the classic Python algorithm rides
+        tests/test_operators.py::TestLearnBpe."""
+        from ..operators.bpe import learn_bpe
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return learn_bpe(docs, num_merges=12)
+
+    q["bpe_merges"] = bpe_merges_q
+
     def semdedup_q(spark, sf_dir):
         """SemDeDup (Abbas et al. 2023): k-means + intra-cluster greedy cosine
         dedup keeping the lowest-centroid-similarity example. Same planted
@@ -3820,6 +3835,7 @@ GOLDEN_DIR = os.path.join(
 # (planted-pair dedup tests, IVF recall gates, MVT round-trip, component oracles).
 GOLDEN_ORACLE_QUERIES = [
     "semdedup",
+    "bpe_merges",
     "png_decode_stats",
     "jpeg_decode_stats",
     "webp_decode_stats",

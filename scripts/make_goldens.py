@@ -46,6 +46,7 @@ SF_DIRS = os.environ.get(
 # every deterministic rows-only query (plans/contract.py build_rows_only_queries)
 GOLDEN_QUERIES = [
     "semdedup",
+    "bpe_merges",
     "png_decode_stats",
     "quantized_tile_stats",
     "flagship_pages_pipeline",

@@ -2136,3 +2136,74 @@ class TestSemDeDup:
         with pytest.raises(Exception, match="max_cluster"):
             semdedup(df.unionByName(df.select((F.col("vec_id") + 1).alias("vec_id"), "embedding")),
                      n_clusters=1, max_cluster=1).collect()
+
+
+class TestLearnBpe:
+    """learn_bpe — distributed BPE vocabulary learning (operators/bpe.py),
+    exact-semantics parity with the classic Sennrich et al. algorithm."""
+
+    @staticmethod
+    def _python_reference(texts, num_merges, min_pair_count=2):
+        from collections import Counter
+
+        words = Counter(w for t in texts for w in t.split() if w)
+        vocab = {tuple(list(w) + ["</w>"]): c for w, c in words.items()}
+        merges = []
+        for rank in range(num_merges):
+            pairs = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            if n < min_pair_count:
+                break
+            merges.append((rank, l, r, n))
+            newv = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                newv[tuple(out)] = newv.get(tuple(out), 0) + c
+            vocab = newv
+        return merges
+
+    def test_matches_classic_bpe(self, spark):
+        from osm_data_3d_tiles_spark.operators.bpe import learn_bpe
+
+        texts = [
+            "low lower lowest low low",
+            "newer newest new newer wider wide",
+            "the widest river flows lower and lower",
+        ]
+        expected = self._python_reference(texts, 10)
+        assert len(expected) == 10
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+        got = [tuple(r) for r in learn_bpe(df, num_merges=10).collect()]
+        assert got == expected
+
+    def test_tie_break_is_lexicographic(self, spark):
+        from osm_data_3d_tiles_spark.operators.bpe import learn_bpe
+
+        # all four pairs (a,b) (b,a) (a,</w>) (b,</w>) appear exactly twice;
+        # the lexicographic tie-break picks (a, </w>) — '<' sorts before 'b'
+        df = spark.createDataFrame([(1, "ab ab ba ba")], ["doc_id", "text"])
+        got = [tuple(r) for r in learn_bpe(df, num_merges=1).collect()]
+        expected = self._python_reference(["ab ab ba ba"], 1)
+        assert got == expected
+        assert (got[0][1], got[0][2]) == ("a", "</w>")
+
+    def test_early_stop_below_min_pair_count(self, spark):
+        from osm_data_3d_tiles_spark.operators.bpe import learn_bpe
+
+        # every word unique, every pair count 1 → zero merges learnable
+        df = spark.createDataFrame([(1, "ax by cz")], ["doc_id", "text"])
+        assert learn_bpe(df, num_merges=5).count() == 0
+        with pytest.raises(ValueError):
+            learn_bpe(df, num_merges=0)
