@@ -76,6 +76,11 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "dedup_clusters",
     "pagerank_fixed",
+    # round-5 late additions, appended at the TAIL so every prior query keeps
+    # its position (cross-round comparability; ordering recorded per run)
+    "dedup_exact_substring",
+    "semdedup",
+    "bpe_merges",
 ]
 
 

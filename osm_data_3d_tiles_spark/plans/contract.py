@@ -65,6 +65,7 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_exact_substring",
     "semdedup",
     "bpe_merges",
+    "dsir_select",
     "jpeg_decode_stats",
     "webp_decode_stats",
     # (b) round-5-changed modules
@@ -3451,6 +3452,22 @@ def build_rows_only_queries() -> dict:
 
     q["ann_ivf_pq_topk"] = ann_ivf_pq
 
+    def dsir_select_q(spark, sf_dir):
+        """DSIR importance-resampling data selection (Xie et al. 2023,
+        operators/dsir.py): top-50 non-English documents whose hashed-n-gram
+        distribution is most English-target-like. Featurization is md5-bucket
+        (SQL-restatable); the importance log-weights are float ln, so the
+        oracle is a golden (cross-engine libm last-ulp differences make a SQL
+        value hash flaky); exact semantics ride the plain-Python reference
+        parity pytest (TestDsirSelect)."""
+        from ..operators.dsir import dsir_select
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = dsir_select(docs, F.col("lang") == "en", k=50)
+        return out.select("rank", "doc_id", F.round("log_weight", 6).alias("log_weight"))
+
+    q["dsir_select"] = dsir_select_q
+
     def bpe_merges_q(spark, sf_dir):
         """Distributed BPE vocabulary learning (Sennrich et al. 2016,
         operators/bpe.py): 12 merge rules over the documents corpus. The
@@ -3836,6 +3853,7 @@ GOLDEN_DIR = os.path.join(
 GOLDEN_ORACLE_QUERIES = [
     "semdedup",
     "bpe_merges",
+    "dsir_select",
     "png_decode_stats",
     "jpeg_decode_stats",
     "webp_decode_stats",

@@ -47,6 +47,7 @@ SF_DIRS = os.environ.get(
 GOLDEN_QUERIES = [
     "semdedup",
     "bpe_merges",
+    "dsir_select",
     "png_decode_stats",
     "quantized_tile_stats",
     "flagship_pages_pipeline",

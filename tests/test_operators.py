@@ -2207,3 +2207,88 @@ class TestLearnBpe:
         assert learn_bpe(df, num_merges=5).count() == 0
         with pytest.raises(ValueError):
             learn_bpe(df, num_merges=0)
+
+
+class TestDsirSelect:
+    """dsir_select — DSIR importance-resampling data selection (Xie et al.
+    2023, operators/dsir.py), exact parity with a plain-Python reference."""
+
+    @staticmethod
+    def _python_reference(rows, target_ids, k, B=256):
+        import hashlib
+        import math
+        import re
+        from collections import Counter
+
+        def buckets(text):
+            ws = [w for w in re.split(r"\s+", text) if w]
+            grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            return Counter(
+                int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B for g in grams
+            )
+
+        feats = {i: buckets(t) for i, t in rows}
+        t_tot, r_tot = Counter(), Counter()
+        for i, c in feats.items():
+            (t_tot if i in target_ids else r_tot).update(c)
+        tt, rt = sum(t_tot.values()), sum(r_tot.values())
+        score = {
+            b: math.log((t_tot.get(b, 0) + 1) / (tt + B))
+            - math.log((r_tot.get(b, 0) + 1) / (rt + B))
+            for b in range(B)
+        }
+        w = {
+            i: sum(c * score[b] for b, c in feats[i].items())
+            for i in feats
+            if i not in target_ids
+        }
+        ranked = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(r + 1, i, lw) for r, (i, lw) in enumerate(ranked)]
+
+    def test_matches_python_reference(self, spark):
+        from osm_data_3d_tiles_spark.operators.dsir import dsir_select
+
+        rng = np.random.default_rng(3)
+        tvocab = ["data", "spark", "shuffle", "join", "plan"]
+        rvocab = ["perro", "gato", "casa", "calle", "data", "join"]
+        rows = []
+        for i in range(20):  # target: tvocab-only docs
+            rows.append((i, " ".join(rng.choice(tvocab, int(rng.integers(8, 20))))))
+        for i in range(20, 60):  # raw: mixed-vocab docs, varying target-likeness
+            mix = rng.integers(0, 2)
+            v = tvocab if mix else rvocab
+            rows.append((i, " ".join(rng.choice(v, int(rng.integers(8, 20))))))
+        expected = self._python_reference(rows, set(range(20)), k=15)
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = [
+            (r["rank"], r["doc_id"], r["log_weight"])
+            for r in dsir_select(df, F.col("doc_id") < 20, k=15).orderBy("rank").collect()
+        ]
+        assert len(got) == len(expected)
+        for e, g in zip(expected, got):
+            assert e[0] == g[0] and e[1] == g[1]
+            assert abs(e[2] - g[2]) < 1e-9
+
+    def test_target_docs_never_selected(self, spark):
+        from osm_data_3d_tiles_spark.operators.dsir import dsir_select
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(10)], ["doc_id", "text"]
+        )
+        out = dsir_select(df, F.col("doc_id") < 5, k=100).toPandas()
+        assert set(out["doc_id"]) == set(range(5, 10))
+
+    def test_guards_and_short_docs(self, spark):
+        from osm_data_3d_tiles_spark.operators.dsir import dsir_select, hashed_ngram_buckets
+
+        df = spark.createDataFrame(
+            [(1, "one"), (2, ""), (3, "two words")], ["doc_id", "text"]
+        )
+        # 0/1-word docs must not fabricate null grams (descending-sequence guard)
+        b = hashed_ngram_buckets(df).toPandas()
+        assert b["bucket"].notna().all()
+        assert b.groupby("doc_id")["cnt"].sum().to_dict() == {1: 1, 3: 3}
+        with pytest.raises(ValueError):
+            dsir_select(df, F.col("doc_id") < 2, k=0)
+        with pytest.raises(ValueError):
+            hashed_ngram_buckets(df, n_buckets=0)
