@@ -208,3 +208,66 @@ def exact_quantiles_by_value(
         F.min(F.when(F.col("cum") >= F.col("m_rank"), F.col(value))).alias("median"),
         F.min(F.when(F.col("cum") >= F.col("p90_rank"), F.col(value))).alias("p90"),
     )
+
+
+def mix_domains(
+    docs: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    target_total: int = 200,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain mixing: resample the corpus so domain d
+    contributes ~ n_d^alpha / sum(n^alpha) of `target_total` documents — the
+    exponent-smoothed mixture used by multilingual / multi-domain training
+    recipes (alpha < 1 upweights small domains, alpha = 1 keeps natural
+    proportions).
+
+    Determinism + oracle exactness: with the default alpha = 0.5 the weight
+    is computed as floor(sqrt(n_d · 1e12)) in BIGINT fixed point — IEEE-754
+    sqrt and multiply are correctly rounded, so DuckDB states the identical
+    integers and the allocation ((target_total · s_d) div S, floor
+    apportionment, never exceeding target_total) is exact integer math end
+    to end. Any other alpha uses pow() and is documented as
+    within-engine-deterministic only. Per-domain selection keeps the
+    allocation's hash-smallest documents (md5 of the id string, id
+    tie-break) — an unbiased deterministic sample, same convention as
+    cap_per_host.
+
+    Plan shape: the domain table is a tiny aggregate (|domains| rows)
+    broadcast back onto the corpus; the only corpus-scale work is one
+    per-domain row_number window (single shuffle on domain_col; skewed
+    domains are bounded by the allocation itself).
+
+    Returns the selected rows: (id_col, domain_col).
+    """
+    if target_total < 1:
+        raise ValueError(f"target_total must be >= 1, got {target_total}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    n = docs.groupBy(domain_col).agg(F.count("*").alias("n_d"))
+    if alpha == 0.5:
+        s_col = F.floor(F.sqrt(F.col("n_d").cast("double") * F.lit(1e12))).cast("long")
+    else:
+        s_col = F.floor(
+            F.pow(F.col("n_d").cast("double"), F.lit(float(alpha))) * F.lit(1e12)
+        ).cast("long")
+    s = n.withColumn("s_d", s_col)
+    total = s.agg(F.sum("s_d").alias("s_total"))
+    tgt = (
+        s.crossJoin(F.broadcast(total))
+        .withColumn("tgt", F.expr(f"({target_total} * s_d) div s_total"))
+        .select(domain_col, "tgt")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    return (
+        docs.select(id_col, domain_col)
+        .withColumn("_rk", rk)
+        .join(F.broadcast(tgt), domain_col)
+        .filter(F.col("_rk") <= F.col("tgt"))
+        .select(id_col, domain_col)
+    )

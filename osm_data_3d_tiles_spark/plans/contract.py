@@ -66,6 +66,7 @@ DRIVER_WINDOW_PRIORITY = [
     "semdedup",
     "bpe_merges",
     "dsir_select",
+    "mix_domains_temperature",
     "jpeg_decode_stats",
     "webp_decode_stats",
     # (b) round-5-changed modules
@@ -2740,6 +2741,41 @@ def build_webtext_queries() -> dict:
         JOIN sizes sa ON sa.id = i.a
         JOIN sizes sb ON sb.id = i.b
         WHERE i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 3
+        """,
+    )
+
+    def mix_domains_q(spark, sf_dir):
+        """Temperature-based domain mixing (exponent-smoothed multilingual /
+        multi-domain resampling, alpha = 0.5): fixed-point sqrt weights and
+        floor apportionment are exact integer math end to end (IEEE sqrt and
+        multiply are correctly rounded, so DuckDB states identical BIGINTs),
+        selection keeps each domain's md5-hash-smallest documents."""
+        from ..operators.sampling import mix_domains
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return mix_domains(docs, target_total=200)
+
+    q["mix_domains_temperature"] = (
+        mix_domains_q,
+        """
+        WITH n AS (SELECT source, COUNT(*) AS n_d FROM documents GROUP BY source),
+        s AS (
+            SELECT source,
+                   CAST(FLOOR(SQRT(CAST(n_d AS DOUBLE) * 1e12)) AS BIGINT) AS s_d
+            FROM n
+        ),
+        t AS (
+            SELECT source, (200 * s_d) // (SELECT SUM(s_d) FROM s) AS tgt FROM s
+        ),
+        r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT r.doc_id, r.source FROM r JOIN t USING (source) WHERE rk <= t.tgt
         """,
     )
 

@@ -2292,3 +2292,45 @@ class TestDsirSelect:
             dsir_select(df, F.col("doc_id") < 2, k=0)
         with pytest.raises(ValueError):
             hashed_ngram_buckets(df, n_buckets=0)
+
+
+class TestMixDomains:
+    """mix_domains — temperature-based domain resampling (operators/sampling.py)."""
+
+    def test_sqrt_allocation_and_determinism(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import mix_domains
+
+        # domains of size 100 / 25 / 4: sqrt weights 10 : 5 : 2 → of 17
+        # requested docs, exact floor allocation is 10 / 5 / 2
+        rows = (
+            [(i, "big") for i in range(100)]
+            + [(200 + i, "mid") for i in range(25)]
+            + [(300 + i, "tiny") for i in range(4)]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = mix_domains(df, target_total=17).toPandas()
+        got = out.groupby("source")["doc_id"].count().to_dict()
+        assert got == {"big": 10, "mid": 5, "tiny": 2}
+        out2 = mix_domains(df, target_total=17).toPandas()
+        assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+    def test_allocation_never_exceeds_domain_or_total(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import mix_domains
+
+        rows = [(i, "a") for i in range(3)] + [(10 + i, "b") for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = mix_domains(df, target_total=100).toPandas()
+        per = out.groupby("source")["doc_id"].count().to_dict()
+        assert per.get("a", 0) <= 3  # can't select more than the domain holds
+        assert len(out) <= 100
+        # alpha < 1 upweights the small domain vs natural proportions
+        assert per.get("a", 0) / max(len(out), 1) > 3 / 303
+
+    def test_guards(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import mix_domains
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+        with pytest.raises(ValueError):
+            mix_domains(df, target_total=0)
+        with pytest.raises(ValueError):
+            mix_domains(df, alpha=0.0)
