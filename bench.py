@@ -81,6 +81,8 @@ HEADLINE = [
     "dedup_exact_substring",
     "semdedup",
     "bpe_merges",
+    "dsir_select",
+    "mix_domains_temperature",
 ]
 
 
