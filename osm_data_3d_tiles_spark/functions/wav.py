@@ -296,9 +296,6 @@ def _decode_wav_impl(data: bytes) -> tuple[np.ndarray, int]:
             block_align = _u16(body, 12)
             bits = _u16(body, 14)
             samples_per_block = None
-            if tag == _IMA_ADPCM and len(body) >= 20:
-                # cbSize >= 2: wSamplesPerBlock
-                samples_per_block = _u16(body, 18)
             if tag == _EXTENSIBLE:
                 # cbSize >= 22: validBits(2) + channelMask(4) + SubFormat GUID(16)
                 if len(body) < 26:
@@ -307,6 +304,12 @@ def _decode_wav_impl(data: bytes) -> tuple[np.ndarray, int]:
                 tag = _KSDATAFORMAT_PREFIX.get(sub)
                 if tag is None:
                     raise ValueError(f"unsupported EXTENSIBLE SubFormat {sub}")
+            # AFTER the EXTENSIBLE unwrap: in both the plain-IMA layout
+            # (cbSize >= 2 union) and the extensible layout (Samples union)
+            # wSamplesPerBlock sits at offset 18, but the tag is only known
+            # once the SubFormat GUID has been resolved.
+            if tag == _IMA_ADPCM and len(body) >= 20:
+                samples_per_block = _u16(body, 18)
             fmt = {
                 "tag": tag, "n_ch": n_ch, "rate": rate, "bits": bits,
                 "block_align": block_align,

@@ -133,12 +133,18 @@ def learn_bpe(
         merged = left + right
 
         # rewrite ONLY the words containing the pair; everything else passes
-        # through untouched (both branches read the same persisted round table)
-        has_pair = F.exists(
-            F.sequence(F.lit(1), F.size("syms") - 1),
-            lambda i: (F.element_at("syms", i) == F.lit(left))
-            & (F.element_at("syms", i + 1) == F.lit(right)),
-        )
+        # through untouched (both branches read the same persisted round table).
+        # The size >= 2 guard must be a CASE branch, not a filter: once a word
+        # fully merges to one symbol, sequence(1, size-1) DESCENDS to [1, 0]
+        # and element_at(syms, 0) throws INVALID_INDEX_OF_ZERO on every row.
+        has_pair = F.when(
+            F.size("syms") >= 2,
+            F.exists(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: (F.element_at("syms", i) == F.lit(left))
+                & (F.element_at("syms", i + 1) == F.lit(right)),
+            ),
+        ).otherwise(F.lit(False))
 
         def _apply(
             batches: Iterator[pd.DataFrame],

@@ -97,9 +97,16 @@ def dsir_select(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from .dedup import _register_persist
+
     flagged = docs.select(F.col(id_col), F.col(text_col), is_target.alias("is_target"))
     counts = hashed_ngram_buckets(flagged, id_col, text_col, n_buckets)
-    counts = counts.join(flagged.select(id_col, "is_target"), id_col)
+    # persist: the featurization (whole-corpus HOF gram extraction + explode +
+    # aggregation) feeds BOTH the totals collect and the weighted-scoring join
+    # below — without the cache the dominant stage executes twice.
+    counts = _register_persist(
+        counts.join(flagged.select(id_col, "is_target"), id_col).persist()
+    )
 
     totals = (
         counts.groupBy("bucket")

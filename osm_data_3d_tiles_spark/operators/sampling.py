@@ -18,6 +18,8 @@ function of the row:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -228,7 +230,9 @@ def mix_domains(
     sqrt and multiply are correctly rounded, so DuckDB states the identical
     integers and the allocation ((target_total · s_d) div S, floor
     apportionment, never exceeding target_total) is exact integer math end
-    to end. Any other alpha uses pow() and is documented as
+    to end. (For target_total beyond ~9e6 the fixed-point scale shrinks
+    automatically so the allocation product stays inside int64.) Any other
+    alpha uses pow() normalized by the largest domain and is documented as
     within-engine-deterministic only. Per-domain selection keeps the
     allocation's hash-smallest documents (md5 of the id string, id
     tie-break) — an unbiased deterministic sample, same convention as
@@ -245,14 +249,35 @@ def mix_domains(
         raise ValueError(f"target_total must be >= 1, got {target_total}")
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    # Fixed-point scale. 1e12 at the small target_totals the oracle pins; for
+    # huge target_totals shrink it so the allocation product target_total·s_d
+    # stays inside int64 for any n_d up to 1e12 docs per domain (s_d is
+    # bounded by sqrt(1e12·scale) on the sqrt branch and by scale — always
+    # smaller — on the normalized pow branch below).
+    scale = 1e12
+    while scale > 1.0 and float(target_total) * math.sqrt(1e12 * scale) > 9.0e18:
+        scale /= 100.0
     n = docs.groupBy(domain_col).agg(F.count("*").alias("n_d"))
     if alpha == 0.5:
-        s_col = F.floor(F.sqrt(F.col("n_d").cast("double") * F.lit(1e12))).cast("long")
+        s_col = F.floor(F.sqrt(F.col("n_d").cast("double") * F.lit(scale))).cast(
+            "long"
+        )
+        s = n.withColumn("s_d", s_col)
     else:
+        # pow() overflows the fixed-point lift for n_d^alpha > ~9.2e6, so
+        # normalize by the largest domain first: (n_d / max_n)^alpha ≤ 1 keeps
+        # s_d ≤ scale while preserving the proportions exactly
+        # (n_d^a / max^a) — this branch is within-engine-deterministic only
+        # (documented above), so the normalization costs no oracle exactness.
+        mx = n.agg(F.max("n_d").alias("mx_n"))
         s_col = F.floor(
-            F.pow(F.col("n_d").cast("double"), F.lit(float(alpha))) * F.lit(1e12)
+            F.pow(
+                F.col("n_d").cast("double") / F.col("mx_n").cast("double"),
+                F.lit(float(alpha)),
+            )
+            * F.lit(scale)
         ).cast("long")
-    s = n.withColumn("s_d", s_col)
+        s = n.crossJoin(F.broadcast(mx)).withColumn("s_d", s_col).drop("mx_n")
     total = s.agg(F.sum("s_d").alias("s_total"))
     tgt = (
         s.crossJoin(F.broadcast(total))

@@ -2208,6 +2208,19 @@ class TestLearnBpe:
         with pytest.raises(ValueError):
             learn_bpe(df, num_merges=0)
 
+    def test_fully_merged_word_survives_later_rounds(self, spark):
+        from osm_data_3d_tiles_spark.operators.bpe import learn_bpe
+
+        # 'a' collapses to the single symbol 'a</w>' after round 1; later
+        # rounds must evaluate has_pair over that size-1 row without tripping
+        # sequence(1, 0) → element_at(syms, 0)  (regression: round-5 review)
+        texts = ["a a a a bc bc bc bd bd bd"]
+        df = spark.createDataFrame([(1, texts[0])], ["doc_id", "text"])
+        expected = self._python_reference(texts, 4)
+        got = [tuple(r) for r in learn_bpe(df, num_merges=4).collect()]
+        assert got == expected
+        assert ("a", "</w>") in {(m[1], m[2]) for m in got}
+
 
 class TestDsirSelect:
     """dsir_select — DSIR importance-resampling data selection (Xie et al.
@@ -2334,3 +2347,29 @@ class TestMixDomains:
             mix_domains(df, target_total=0)
         with pytest.raises(ValueError):
             mix_domains(df, alpha=0.0)
+
+    def test_large_alpha_does_not_overflow(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import mix_domains
+
+        # alpha=2 on a 4000-row domain: unnormalized pow gave
+        # 4000² · 1e12 = 1.6e19 > Long.MAX (ARITHMETIC_OVERFLOW under ANSI);
+        # the max-normalized weights must allocate ~16:1 instead
+        rows = [(i, "big") for i in range(4000)] + [
+            (10_000 + i, "small") for i in range(1000)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = mix_domains(df, target_total=170, alpha=2.0).toPandas()
+        per = out.groupby("source")["doc_id"].count().to_dict()
+        # weights 1 : (1/4)² = 16 : 1 → exact floor allocation 160 / 10
+        assert per == {"big": 160, "small": 10}
+
+    def test_huge_target_total_does_not_overflow(self, spark):
+        from osm_data_3d_tiles_spark.operators.sampling import mix_domains
+
+        # 1e10 requested docs: target_total · s_d overflows int64 at the
+        # default 1e12 fixed-point scale; the auto-shrunk scale must keep the
+        # allocation exact (every row selected — targets exceed domain sizes)
+        rows = [(i, "a") for i in range(50)] + [(100 + i, "b") for i in range(30)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = mix_domains(df, target_total=10_000_000_000).toPandas()
+        assert len(out) == 80

@@ -184,6 +184,39 @@ class TestImaAdpcm:
         got, _ = decode_wav(encode_wav(x, 8000, bits="adpcm"))
         assert got.shape == (n, 1)
 
+    def test_extensible_wrap_reads_samples_per_block(self):
+        # EXTENSIBLE-wrapped IMA ADPCM: wSamplesPerBlock lives in the
+        # extensible Samples union (offset 18), readable only AFTER the
+        # SubFormat unwrap. Declare spb=500 (< the 505-sample nibble capacity
+        # of a mono 256-byte block) with no fact chunk: each block must trim
+        # to 500 frames (regression: round-5 review — before the fix the
+        # extensible path left samples_per_block=None and emitted all 505)
+        n = 1010  # exactly 2 full mono blocks at the encoder's spb=505
+        x = (0.5 * np.sin(2 * np.pi * 5 * np.arange(n) / 100.0))[:, None]
+        data = encode_wav(x, 8000, bits="adpcm")
+        i = data.find(b"fmt ")
+        body = data[i + 8 : i + 8 + 20]  # tag..bits(16) + cbSize(2) + spb(2)
+        ext = (
+            (0xFFFE).to_bytes(2, "little") + body[2:16]
+            + (22).to_bytes(2, "little")       # cbSize
+            + (500).to_bytes(2, "little")      # Samples union = wSamplesPerBlock
+            + (0).to_bytes(4, "little")        # channel mask
+            + (0x11).to_bytes(2, "little") + b"\x00" * 14  # SubFormat GUID
+        )
+        j = data.find(b"fact")
+        k = data.find(b"data")
+        assert 0 < j < k  # encoder emits fact before data; drop it
+        rebuilt = (
+            data[:i] + b"fmt " + len(ext).to_bytes(4, "little") + ext + data[k:]
+        )
+        rebuilt = rebuilt[:4] + (len(rebuilt) - 8).to_bytes(4, "little") + rebuilt[8:]
+        got, rate = decode_wav(rebuilt)
+        assert rate == 8000
+        assert got.shape == (1000, 1)  # 2 blocks × declared spb, not 2 × 505
+        # block 0 holds original frames 0..499, block 1 frames 505..1004
+        assert np.abs(got[:500] - x[:500]).max() < 0.05
+        assert np.abs(got[500:] - x[505:1005]).max() < 0.05
+
     def test_bad_step_index_refused(self):
         x = _sine(600)
         data = bytearray(encode_wav(x, 8000, bits="adpcm"))
