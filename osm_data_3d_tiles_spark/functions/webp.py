@@ -506,99 +506,198 @@ def _cti(v: int) -> int:
     return v - 256 if v >= 128 else v
 
 
+def _cti_arr(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int32)
+    return np.where(v >= 128, v - 256, v)
+
+
 def _inv_color_transform(
     pix: np.ndarray, w: int, h: int, size_bits: int, sub: np.ndarray, bw: int
 ) -> np.ndarray:
-    out = pix.copy()
-    for i in range(len(pix)):
-        x, y = i % w, i // w
-        cte = int(sub[(y >> size_bits) * bw + (x >> size_bits)])
-        g2r = cte & 0xFF
-        g2b = (cte >> 8) & 0xFF
-        r2b = (cte >> 16) & 0xFF
-        v = int(pix[i])
-        green = (v >> 8) & 0xFF
-        red = (v >> 16) & 0xFF
-        blue = v & 0xFF
-        red = (red + ((_cti(g2r) * _cti(green)) >> 5)) & 0xFF
-        blue = (blue + ((_cti(g2b) * _cti(green)) >> 5)) & 0xFF
-        blue = (blue + ((_cti(r2b) * _cti(red)) >> 5)) & 0xFF
-        out[i] = (v & 0xFF00FF00) | (red << 16) | blue
-    return out
+    # fully vectorized: expand the per-tile transform elements to per-pixel
+    # coefficient planes, then apply the spec formula over whole arrays —
+    # the decode hot path must never loop per pixel (a 1-MP crawl image is
+    # ~1e6 iterations otherwise; same standard as the PNG/JPEG/BMP paths)
+    p = pix.astype(np.uint32).reshape(h, w)
+    ys = np.arange(h, dtype=np.int64) >> size_bits
+    xs = np.arange(w, dtype=np.int64) >> size_bits
+    cte = sub.astype(np.uint32)[ys[:, None] * bw + xs[None, :]]
+    g2r = _cti_arr(cte & 0xFF)
+    g2b = _cti_arr((cte >> 8) & 0xFF)
+    r2b = _cti_arr((cte >> 16) & 0xFF)
+    green = _cti_arr((p >> 8) & 0xFF)
+    red = ((p >> 16) & 0xFF).astype(np.int32)
+    blue = (p & 0xFF).astype(np.int32)
+    red = (red + ((g2r * green) >> 5)) & 0xFF
+    blue = (blue + ((g2b * green) >> 5)) & 0xFF
+    blue = (blue + ((r2b * _cti_arr(red)) >> 5)) & 0xFF
+    out = (p & np.uint32(0xFF00FF00)) | (red.astype(np.uint32) << 16) | blue.astype(
+        np.uint32
+    )
+    return out.reshape(-1)
 
 
-def _avg2(a: tuple, b: tuple) -> tuple:
-    return tuple((x + y) >> 1 for x, y in zip(a, b))
-
-
-def _unpack(v: int) -> tuple:
-    return ((v >> 24) & 255, (v >> 16) & 255, (v >> 8) & 255, v & 255)
-
-
-def _pack(t: tuple) -> int:
-    return (t[0] << 24) | (t[1] << 16) | (t[2] << 8) | t[3]
-
-
-def _clip255(v: int) -> int:
-    return 0 if v < 0 else 255 if v > 255 else v
+_VECTOR_PRED_MODES = frozenset((0, 1, 2, 3, 4, 8, 9))
 
 
 def _inv_predictor(
     pix: np.ndarray, w: int, h: int, size_bits: int, sub: np.ndarray, bw: int
 ) -> np.ndarray:
-    out = [0] * len(pix)
-    for i in range(len(pix)):
-        x, y = i % w, i // w
-        if x == 0 and y == 0:
-            pred = (0xFF, 0, 0, 0)
-        elif y == 0:
-            pred = _unpack(out[i - 1])  # L
-        elif x == 0:
-            pred = _unpack(out[i - w])  # T
-        else:
-            mode = (int(sub[(y >> size_bits) * bw + (x >> size_bits)]) >> 8) & 0xFF
-            L = _unpack(out[i - 1])
-            T = _unpack(out[i - w])
-            TL = _unpack(out[i - w - 1])
-            TR = _unpack(out[i - w + 1])  # contiguous-memory semantics at x=w-1
+    """Inverse predictor transform, row-wise vectorized.
+
+    Per spec the mode is constant within a predictor tile (1 << size_bits
+    pixels wide), so each row splits into a handful of constant-mode
+    segments. Left-free modes (0 black, 2 T, 3 TR, 4 TL, 8 avg(TL,T),
+    9 avg(T,TR)) apply as whole-segment numpy expressions over the previous
+    row; mode 1 (L) is the modular prefix-sum of the residuals, i.e. a
+    cumsum. Only the genuinely left-recursive modes (5/6/7/10 averages with
+    L, 11 Select, 12/13 clamp-adds) fall back to a per-pixel loop, and only
+    inside their own segments — real crawl images are dominated by the
+    vectorizable modes, so the per-pixel share is small.
+    """
+    res = np.empty((h, w, 4), dtype=np.int64)  # (A, R, G, B), cumsum-safe
+    p = pix.astype(np.uint32).reshape(h, w)
+    res[..., 0] = (p >> 24) & 0xFF
+    res[..., 1] = (p >> 16) & 0xFF
+    res[..., 2] = (p >> 8) & 0xFF
+    res[..., 3] = p & 0xFF
+
+    xs_tile = np.arange(w, dtype=np.int64) >> size_bits
+    out = np.empty((h, w, 4), dtype=np.int64)
+    # row 0: x == 0 seeds with (255, 0, 0, 0); every later pixel predicts L
+    # regardless of the mode map → modular prefix sum of the residuals
+    seed = np.array([0xFF, 0, 0, 0], dtype=np.int64)
+    out[0] = (np.cumsum(res[0], axis=0) + seed) & 0xFF
+
+    # the mode map is constant within a tile ROW group too (1 << size_bits
+    # scanlines share it), so masks / index lists / the event walk structure
+    # are computed once per group, not once per scanline
+    cached_ty = -1
+    vec_idx: list = []
+    events: list = []
+    hard_list: list = []
+    m_list: list = []
+    for y in range(1, h):
+        ty = y >> size_bits
+        if ty != cached_ty:
+            cached_ty = ty
+            row_modes = (sub[ty * bw + xs_tile].astype(np.int64) >> 8) & 0xFF
+            m = row_modes[1:]  # index i ↔ pixel x = i + 1
+            present = [int(v) for v in np.unique(m)]
+            if present and present[-1] > 13:
+                raise ValueError(f"invalid predictor mode {present[-1]}")
+            # left-free modes as index arrays for one masked expression each
+            sequential = np.zeros(w - 1, dtype=bool)  # mode-1 + hard modes
+            vec_idx = []
+            for mode in present:
+                if mode == 1 or mode not in _VECTOR_PRED_MODES:
+                    sequential |= m == mode
+                    continue
+                vec_idx.append((mode, np.flatnonzero(m == mode)))
+            # events: mode-1 stretches (cumsum) + hard pixels, left to right
+            events = []  # (start_index_in_m, end_index_in_m, is_stretch)
+            l_mask = sequential & (m == 1)
+            lm = np.flatnonzero(l_mask)
+            if lm.size:
+                for s in np.split(lm, np.flatnonzero(np.diff(lm) > 1) + 1):
+                    events.append((int(s[0]), int(s[-1]), True))
+            hard_list = np.flatnonzero(sequential & ~l_mask).tolist()
+            events.extend((i, i, False) for i in hard_list)
+            events.sort()
+            m_list = m.tolist()
+
+        out[y, 0] = (res[y, 0] + out[y - 1, 0]) & 0xFF  # x == 0 predicts T
+        # neighbor rows for x = 1..w-1; TR at x = w-1 wraps to this row's
+        # first pixel (contiguous-memory semantics), already computed above
+        T = out[y - 1, 1:]
+        TL = out[y - 1, :-1]
+        TR = np.concatenate([out[y - 1, 2:], out[y, 0:1]], axis=0)
+        rrow = res[y, 1:]
+        ovr = out[y, 1:]
+        for mode, ix in vec_idx:
             if mode == 0:
-                pred = (0xFF, 0, 0, 0)
-            elif mode == 1:
-                pred = L
+                pred = seed
             elif mode == 2:
-                pred = T
+                pred = T[ix]
             elif mode == 3:
-                pred = TR
+                pred = TR[ix]
             elif mode == 4:
-                pred = TL
-            elif mode == 5:
-                pred = _avg2(_avg2(L, TR), T)
-            elif mode == 6:
-                pred = _avg2(L, TL)
-            elif mode == 7:
-                pred = _avg2(L, T)
+                pred = TL[ix]
             elif mode == 8:
-                pred = _avg2(TL, T)
-            elif mode == 9:
-                pred = _avg2(T, TR)
+                pred = (TL[ix] + T[ix]) >> 1
+            else:  # 9
+                pred = (T[ix] + TR[ix]) >> 1
+            ovr[ix] = (rrow[ix] + pred) & 0xFF
+        if not events:
+            continue
+        # remaining pixels resolve left to right: mode-1 stretches collapse
+        # to a cumsum seeded by their (resolved) left neighbour; the
+        # left-recursive modes (5/6/7/10 averages with L, 11 Select, 12/13
+        # clamp-adds) go per pixel on plain Python ints — list-converted
+        # neighbour rows, no numpy scalars in the loop
+        if hard_list:
+            row_out = out[y].tolist()  # L reads during the scalar walk
+            Tl, TLl, TRl = T.tolist(), TL.tolist(), TR.tolist()
+            res_row = res[y].tolist()
+            m_list = m.tolist()
+        for start, end, is_stretch in events:
+            if is_stretch:
+                # pixels x = start+1 .. end+1; seed pixel x = start
+                seed_px = (
+                    np.asarray(row_out[start], dtype=np.int64)
+                    if hard_list
+                    else out[y, start]
+                )
+                out[y, start + 1 : end + 2] = (
+                    np.cumsum(res[y, start + 1 : end + 2], axis=0) + seed_px
+                ) & 0xFF
+                if hard_list:
+                    row_out[start + 1 : end + 2] = out[
+                        y, start + 1 : end + 2
+                    ].tolist()
+                continue
+            mode = m_list[start]
+            x = start + 1
+            L = row_out[x - 1]
+            Tv, TLv, TRv = Tl[start], TLl[start], TRl[start]
+            if mode == 5:
+                pred = [
+                    ((((l + tr) >> 1) + t) >> 1) for l, t, tr in zip(L, Tv, TRv)
+                ]
+            elif mode == 6:
+                pred = [(l + tl) >> 1 for l, tl in zip(L, TLv)]
+            elif mode == 7:
+                pred = [(l + t) >> 1 for l, t in zip(L, Tv)]
             elif mode == 10:
-                pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                pred = [
+                    (((l + tl) >> 1) + ((t + tr) >> 1)) >> 1
+                    for l, t, tl, tr in zip(L, Tv, TLv, TRv)
+                ]
             elif mode == 11:
                 # Select(T, L, TL) per libwebp: Σ(|L-TL| - |T-TL|) <= 0 → T
-                d = sum(abs(l - tl) - abs(t - tl) for l, t, tl in zip(L, T, TL))
-                pred = T if d <= 0 else L
+                d = sum(abs(l - tl) - abs(t - tl) for l, t, tl in zip(L, Tv, TLv))
+                pred = Tv if d <= 0 else L
             elif mode == 12:
-                pred = tuple(_clip255(l + t - tl) for l, t, tl in zip(L, T, TL))
-            elif mode == 13:
-                ave = _avg2(L, T)
-                pred = tuple(
-                    _clip255(a + int((a - tl) / 2)) for a, tl in zip(ave, TL)
-                )
-            else:
-                raise ValueError(f"invalid predictor mode {mode}")
-        res = _unpack(int(pix[i]))
-        out[i] = _pack(tuple((r + p) & 0xFF for r, p in zip(res, pred)))
-    return np.array(out, dtype=np.uint32)
+                pred = [min(255, max(0, l + t - tl)) for l, t, tl in zip(L, Tv, TLv)]
+            else:  # 13
+                # int(x / 2) truncates toward zero — NOT a >> 1 floor
+                ave = [(l + t) >> 1 for l, t in zip(L, Tv)]
+                pred = [
+                    min(255, max(0, a + int((a - tl) / 2)))
+                    for a, tl in zip(ave, TLv)
+                ]
+            row_out[x] = [(r + pc) & 0xFF for r, pc in zip(res_row[x], pred)]
+        if hard_list:
+            xs = [i + 1 for i in hard_list]
+            out[y, xs] = [row_out[x] for x in xs]
+
+    packed = (
+        (out[..., 0].astype(np.uint32) << 24)
+        | (out[..., 1].astype(np.uint32) << 16)
+        | (out[..., 2].astype(np.uint32) << 8)
+        | out[..., 3].astype(np.uint32)
+    )
+    return packed.reshape(-1)
 
 
 # ---------------------------------------------------------------------------
