@@ -20,15 +20,12 @@ from __future__ import annotations
 
 import numpy as np
 
+from ._binary import p16le as _p16
+from ._binary import p32le as _p32
+from ._binary import u16le as _u16
+from ._binary import u32le as _u32
+
 AVI_MAGIC = b"RIFF"
-
-
-def _u32(b: bytes, o: int) -> int:
-    return b[o] | (b[o + 1] << 8) | (b[o + 2] << 16) | (b[o + 3] << 24)
-
-
-def _u16(b: bytes, o: int) -> int:
-    return b[o] | (b[o + 1] << 8)
 
 
 def read_avi_mjpeg(data: bytes) -> dict:
@@ -179,8 +176,7 @@ def _read_audio_impl(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("AVI stream has no audio track")
     from .wav import decode_wav
 
-    def u32(v: int) -> bytes:
-        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF))
+    u32 = _p32
 
     pcm = b"".join(payloads)
     fmt_chunk = b"fmt " + u32(len(fmt_body)) + fmt_body
@@ -235,11 +231,7 @@ def encode_avi_mjpeg(
         raise ValueError(f"bad fps {fps}")
     payloads = [encode_jpeg(f, quality=quality, subsample="420") for f in frames]
 
-    def u32(v: int) -> bytes:
-        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF))
-
-    def u16(v: int) -> bytes:
-        return bytes((v & 0xFF, (v >> 8) & 0xFF))
+    u16, u32 = _p16, _p32
 
     def chunk(cc: bytes, body: bytes) -> bytes:
         return cc + u32(len(body)) + body + (b"\x00" if len(body) & 1 else b"")

@@ -29,17 +29,14 @@ from __future__ import annotations
 
 import numpy as np
 
+from ._binary import p16le as _p16
+from ._binary import p32le as _p32
+from ._binary import u16le as _u16
+from ._binary import u32le as _u32
+
 BMP_MAGIC = b"BM"
 
 _BI_RGB = 0
-
-
-def _u16(b: bytes, o: int) -> int:
-    return b[o] | (b[o + 1] << 8)
-
-
-def _u32(b: bytes, o: int) -> int:
-    return b[o] | (b[o + 1] << 8) | (b[o + 2] << 16) | (b[o + 3] << 24)
 
 
 def _i32(b: bytes, o: int) -> int:
@@ -227,11 +224,7 @@ def encode_ico(img: np.ndarray) -> bytes:
     if h > 256 or w > 256:
         raise ValueError("ICO entries cap at 256x256")
 
-    def u16(v: int) -> bytes:
-        return bytes((v & 0xFF, (v >> 8) & 0xFF))
-
-    def u32(v: int) -> bytes:
-        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF))
+    u16, u32 = _p16, _p32
 
     px = np.zeros((h, w, 4), dtype=np.uint8)
     px[..., 0] = img[..., 2]
@@ -271,11 +264,7 @@ def encode_bmp(img: np.ndarray, bpp: int = 24) -> bytes:
     px[..., 2] = img[..., 0]
     rows = rows[::-1]  # bottom-up
 
-    def u16(v: int) -> bytes:
-        return bytes((v & 0xFF, (v >> 8) & 0xFF))
-
-    def u32(v: int) -> bytes:
-        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF))
+    u16, u32 = _p16, _p32
 
     payload = rows.tobytes()
     pixel_offset = 14 + 40

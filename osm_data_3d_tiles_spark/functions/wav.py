@@ -33,6 +33,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from ._binary import p16le as _p16
+from ._binary import p32le as _p32
+from ._binary import u16le as _u16
+from ._binary import u32le as _u32
+
 _PCM = 1
 _IEEE_FLOAT = 3
 _ALAW = 6
@@ -46,14 +51,6 @@ _KSDATAFORMAT_PREFIX = {
 }
 
 WAV_MAGIC = b"RIFF"
-
-
-def _u16(b: bytes, o: int) -> int:
-    return b[o] | (b[o + 1] << 8)
-
-
-def _u32(b: bytes, o: int) -> int:
-    return b[o] | (b[o + 1] << 8) | (b[o + 2] << 16) | (b[o + 3] << 24)
 
 
 def mulaw_decode(codes: np.ndarray) -> np.ndarray:
@@ -427,11 +424,7 @@ def encode_wav(
 
     n_ch = samples.shape[1]
 
-    def u16(v: int) -> bytes:
-        return bytes((v & 0xFF, (v >> 8) & 0xFF))
-
-    def u32(v: int) -> bytes:
-        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF))
+    u16, u32 = _p16, _p32
 
     if bits == "adpcm":
         abits = 4

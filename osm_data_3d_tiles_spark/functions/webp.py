@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ._binary import u24le as _u24
+
 WEBP_RIFF = b"RIFF"
 WEBP_FOURCC = b"WEBP"
 
@@ -703,10 +705,6 @@ def _inv_predictor(
 # ---------------------------------------------------------------------------
 # animation (VP8X + ANIM + ANMF, frames carried as VP8L)
 # ---------------------------------------------------------------------------
-
-
-def _u24(b: bytes, o: int) -> int:
-    return b[o] | (b[o + 1] << 8) | (b[o + 2] << 16)
 
 
 def _iter_anmf(data: bytes):

@@ -3674,16 +3674,15 @@ def build_rows_only_queries() -> dict:
 
     q["building_labels"] = labels
 
-    def png_decode_stats(spark, sf_dir):
-        """Round-4: REAL PNG decode in the driver gate — the png media fixture
-        (real bitstreams) through decode_image_real, per-image integer channel
-        sums. Pinned golden: the decode is deterministic bit math (zlib +
-        unfilter), so any decoder regression breaks the value hash."""
+    def _image_decode_stats(media):
+        """Shared body of the *_decode_stats gate queries: run every payload
+        through decode_image_real inside one Arrow stage, emit per-image
+        dimensions + integer channel sums. The codecs are deterministic
+        integer/float64 math, so any decoder regression breaks the golden
+        value hash."""
         import pandas as _pd
 
-        from ..operators.multimodal import decode_image_real, make_png_media_fixture
-
-        media = make_png_media_fixture(spark, 16)
+        from ..operators.multimodal import decode_image_real
 
         def _stats(batches):
             for pdf in batches:
@@ -3706,6 +3705,13 @@ def build_rows_only_queries() -> dict:
             _stats,
             schema="media_id long, width int, height int, r_sum long, g_sum long, b_sum long",
         )
+
+    def png_decode_stats(spark, sf_dir):
+        """Round-4: REAL PNG decode in the driver gate — the png media fixture
+        (real bitstreams) through decode_image_real (zlib + unfilter)."""
+        from ..operators.multimodal import make_png_media_fixture
+
+        return _image_decode_stats(make_png_media_fixture(spark, 16))
 
     q["png_decode_stats"] = png_decode_stats
 
@@ -3714,36 +3720,10 @@ def build_rows_only_queries() -> dict:
         media fixture (real JFIF bitstreams from the repo's own encoder,
         mixed 4:4:4/4:2:0 + quality levels) through decode_image_real
         (functions/jpeg.py: from-scratch Huffman + dequant + IDCT + chroma
-        upsample), per-image integer channel sums. Pinned golden: encoder and
-        decoder are deterministic integer/float64 math, so any codec
-        regression breaks the value hash."""
-        import pandas as _pd
+        upsample)."""
+        from ..operators.multimodal import make_jpeg_media_fixture
 
-        from ..operators.multimodal import decode_image_real, make_jpeg_media_fixture
-
-        media = make_jpeg_media_fixture(spark, 16)
-
-        def _stats(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                rows = {"media_id": [], "width": [], "height": [],
-                        "r_sum": [], "g_sum": [], "b_sum": []}
-                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                    img = decode_image_real(bytes(payload))
-                    rows["media_id"].append(int(mid))
-                    rows["height"].append(int(img.shape[0]))
-                    rows["width"].append(int(img.shape[1]))
-                    s = img.astype("int64").sum(axis=(0, 1))
-                    rows["r_sum"].append(int(s[0]))
-                    rows["g_sum"].append(int(s[1]))
-                    rows["b_sum"].append(int(s[2]))
-                yield _pd.DataFrame(rows)
-
-        return media.select("media_id", "payload").mapInPandas(
-            _stats,
-            schema="media_id long, width int, height int, r_sum long, g_sum long, b_sum long",
-        )
+        return _image_decode_stats(make_jpeg_media_fixture(spark, 16))
 
     q["jpeg_decode_stats"] = jpeg_decode_stats
 
@@ -3752,36 +3732,10 @@ def build_rows_only_queries() -> dict:
         webp media fixture (real VP8L bitstreams from the repo's own encoder,
         rotating through subtract-green / color cache / dist-1 runs / bundled
         palette) through decode_image_real (functions/webp.py: from-scratch
-        prefix codes + transforms + LZ77), per-image integer channel sums.
-        Pinned golden: VP8L is lossless and the codec is deterministic
-        integer math, so any codec regression breaks the value hash."""
-        import pandas as _pd
+        prefix codes + transforms + LZ77)."""
+        from ..operators.multimodal import make_webp_media_fixture
 
-        from ..operators.multimodal import decode_image_real, make_webp_media_fixture
-
-        media = make_webp_media_fixture(spark, 16)
-
-        def _stats(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                rows = {"media_id": [], "width": [], "height": [],
-                        "r_sum": [], "g_sum": [], "b_sum": []}
-                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                    img = decode_image_real(bytes(payload))
-                    rows["media_id"].append(int(mid))
-                    rows["height"].append(int(img.shape[0]))
-                    rows["width"].append(int(img.shape[1]))
-                    s = img.astype("int64").sum(axis=(0, 1))
-                    rows["r_sum"].append(int(s[0]))
-                    rows["g_sum"].append(int(s[1]))
-                    rows["b_sum"].append(int(s[2]))
-                yield _pd.DataFrame(rows)
-
-        return media.select("media_id", "payload").mapInPandas(
-            _stats,
-            schema="media_id long, width int, height int, r_sum long, g_sum long, b_sum long",
-        )
+        return _image_decode_stats(make_webp_media_fixture(spark, 16))
 
     q["webp_decode_stats"] = webp_decode_stats
 
